@@ -1,0 +1,72 @@
+"""Engine-wide configuration.
+
+All constants that affect data values are fixed here so every run is
+bit-identical (the reference violates this with wall-clock filenames,
+``scrape/encoders.go:45``, and random fetch delays, ``utils/utils.go:56-66``;
+we deliberately do not — see SURVEY.md §7 "Hard parts").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Deterministic tokenizer: token = (len(word)*256 + first_codepoint) % VOCAB_MOD.
+# Chosen so the identical expression is writable in ANSI SQL (DuckDB oracle).
+VOCAB_MOD = 32000
+
+# 64-bit FNV-1a is used for all row/content keys: it is trivially
+# re-implementable in any runtime (exact dedup oracle, lineage keys).
+FNV_OFFSET = 0xCBF29CE484222325
+FNV_PRIME = 0x100000001B3
+MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+@dataclass
+class EngineConfig:
+    """Knobs for one engine instance.
+
+    ``n_partitions`` is the *logical* stream-partition count (the analog of
+    Kafka partitions / the reference's payload-worker fan-out,
+    ``scrape/scrape.go:219-221``).  ``partition_id = event_seq % n_partitions``
+    is fully data-derived so replays land on the same partition.
+    At 100 TB this becomes one partition per input shard; the modulo scheme
+    is the single-file test stand-in with identical semantics.
+    """
+
+    n_partitions: int = 8
+    # rows per partition per micro-batch epoch
+    epoch_rows_per_partition: int = 64
+
+    # windows (in event_seq units for the doc-order clock)
+    tumbling_size: int = 32
+    sliding_size: int = 64
+    sliding_slide: int = 32
+    session_gap: int = 8
+
+    # aggregation skew handling
+    n_salts: int = 16
+
+    # map_batches tuning: token rows are wide (~2k int32 ≈ 8 KB/row);
+    # 8192 rows ≈ 64 MB/batch keeps batch x concurrency inside worker heaps.
+    batch_size: int = 8192
+
+    # stateful actor pools
+    state_shards: int = 8
+
+    # join
+    join_num_partitions: int = 16
+
+    extra: dict = field(default_factory=dict)
+
+
+DEFAULT_CONFIG = EngineConfig()
+
+
+def fnv1a64(data: bytes) -> int:
+    """Pure-python 64-bit FNV-1a. Used only for tiny driver-side keys;
+    batch paths use the vectorized numpy variant in tokenize.py."""
+    h = FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * FNV_PRIME) & MASK64
+    return h

@@ -1,0 +1,243 @@
+"""Driver-facing query registry: one entry per implemented operator
+(SURVEY.md §2), each with a DuckDB oracle where SQL can express it.
+
+Every callable takes ``sf_dir`` and returns a ``ray.data.Dataset``.
+Column names match the oracle SQL exactly (the driver's compare sorts
+columns by name before value-hashing).  None of these call ``ray.init``—
+the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataflowkit_ray.config import DEFAULT_CONFIG
+from dataflowkit_ray.stages.cep import Pattern, Step, match_counts
+from dataflowkit_ray.stages.join import explode_chunks, join_details
+from dataflowkit_ray.stages.scalars import filters_stage
+from dataflowkit_ray.stages.windows import (
+    assign_sessions,
+    assign_sliding,
+    assign_tumbling,
+    salted_distinct_docs,
+    topk_sources,
+    windowed_sum,
+)
+from dataflowkit_ray.tokenize import TOKEN_SQL_EXPR, load_token_stream, token_id
+
+CFG = DEFAULT_CONFIG
+
+# shared SQL fragment: the token-stream view over documents
+TOKEN_CTE = f"""
+tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         {TOKEN_SQL_EXPR} AS tokens,
+         CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tok,
+         source,
+         CAST(doc_id AS BIGINT) AS event_seq
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_token_table(sf_dir: str):
+    """The mandated input shape itself — per-row token-array equality."""
+    return load_token_stream(sf_dir)
+
+
+def q_tumbling_agg(sf_dir: str):
+    ds = load_token_stream(sf_dir).map_batches(
+        lambda b: assign_tumbling(b, CFG.tumbling_size), batch_format="pyarrow"
+    )
+    return windowed_sum(ds, batch_size=CFG.batch_size)
+
+
+def q_sliding_agg(sf_dir: str):
+    ds = load_token_stream(sf_dir).map_batches(
+        lambda b: assign_sliding(b, CFG.sliding_size, CFG.sliding_slide),
+        batch_format="pyarrow",
+    )
+    return windowed_sum(ds, batch_size=CFG.batch_size)
+
+
+def q_distinct_docs(sf_dir: str):
+    ds = load_token_stream(sf_dir).map_batches(
+        lambda b: assign_tumbling(b, CFG.tumbling_size), batch_format="pyarrow"
+    )
+    return salted_distinct_docs(ds, n_salts=CFG.n_salts, batch_size=CFG.batch_size)
+
+
+def q_topk_sources(sf_dir: str):
+    ds = load_token_stream(sf_dir).map_batches(
+        lambda b: assign_tumbling(b, CFG.tumbling_size), batch_format="pyarrow"
+    )
+    return topk_sources(windowed_sum(ds), k=5)
+
+
+def q_session_events(sf_dir: str):
+    """Session windows with 30-min gap over real event timestamps, keyed by
+    user — the pagination-chain-as-session analog (SURVEY.md §2.8)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def to_clock(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "t": pc.cast(t["ts"], pa.int64()),  # epoch micros
+            }
+        )
+
+    ev = ev.map_batches(to_clock, batch_format="pyarrow")
+    gap_us = 30 * 60 * 1_000_000
+    sess = assign_sessions(ev, gap=gap_us, key_col="user_id", clock_col="t")
+    return sess.groupby(["user_id", "session_id"]).aggregate(Count(alias_name="n_events"))
+
+
+def q_join_details(sf_dir: str):
+    ds = load_token_stream(sf_dir)
+    child = ds.map_batches(explode_chunks(16), batch_format="pyarrow")
+    return join_details(ds, child, num_partitions=CFG.join_num_partitions)
+
+
+def q_cep_contiguous(sf_dir: str):
+    """Count of contiguous 'batch batch' token bigrams per doc
+    (overlapping scan) — the SQL-expressible CEP case."""
+    b = token_id("batch")
+    pat = Pattern(steps=(Step(literal=b), Step(literal=b)), mode="overlapping")
+    return match_counts(load_token_stream(sf_dir), pat, batch_size=CFG.batch_size)
+
+
+def q_filters_regex(sf_dir: str):
+    """Scalar filter chain: regex-extract all s-words, ';'-join, uppercase."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.string()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.map_batches(
+        filters_stage("text", [("regex", r"\b(s[a-z]*)"), ("uppercase", None)], "extracted"),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "extracted"])
+
+
+# ----------------------------------------------------------------- oracles
+
+
+ORACLES: dict[str, str] = {
+    "token_table": f"WITH {TOKEN_CTE} SELECT doc_id, tokens, n_tok, source, event_seq FROM tok",
+    "tumbling_agg": f"""
+        WITH {TOKEN_CTE}
+        SELECT source, event_seq // {CFG.tumbling_size} AS window_id,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+               COUNT(*) AS n_rows
+        FROM tok GROUP BY 1, 2
+    """,
+    "sliding_agg": f"""
+        WITH {TOKEN_CTE},
+        w AS (
+          SELECT source, n_tok,
+                 unnest(generate_series(
+                    GREATEST(0, CAST(ceil((event_seq - {CFG.sliding_size} + 1) / {CFG.sliding_slide}.0) AS BIGINT)),
+                    event_seq // {CFG.sliding_slide})) AS window_id
+          FROM tok
+        )
+        SELECT source, window_id, CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+               COUNT(*) AS n_rows
+        FROM w GROUP BY 1, 2
+    """,
+    "distinct_docs": f"""
+        WITH {TOKEN_CTE}
+        SELECT source, event_seq // {CFG.tumbling_size} AS window_id,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs
+        FROM tok GROUP BY 1, 2
+    """,
+    "topk_sources": f"""
+        WITH {TOKEN_CTE}
+        SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total_n_tok
+        FROM tok GROUP BY source
+        ORDER BY total_n_tok DESC, source ASC LIMIT 5
+    """,
+    "session_events": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        flagged AS (
+          SELECT user_id, t,
+                 CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                           > 1800000000
+                      OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+          FROM e
+        ),
+        grouped AS (
+          SELECT user_id, t,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING) AS grp
+          FROM flagged
+        )
+        SELECT user_id, CAST(MIN(t) AS BIGINT) AS session_id, COUNT(*) AS n_events
+        FROM grouped GROUP BY user_id, grp
+    """,
+    "join_details": f"""
+        WITH {TOKEN_CTE},
+        chunks AS (
+          SELECT doc_id,
+                 unnest(generate_series(0,
+                    GREATEST(0, CAST(ceil(n_tok / 16.0) AS BIGINT) - 1))) AS chunk_idx,
+                 n_tok
+          FROM tok
+        ),
+        child AS (
+          SELECT doc_id, chunk_idx,
+                 LEAST(16, n_tok - chunk_idx * 16) AS chunk_n_tok
+          FROM chunks
+        ),
+        emb AS (
+          SELECT doc_id, COUNT(*) AS n_details,
+                 CAST(SUM(chunk_n_tok) AS BIGINT) AS sum_detail_tok
+          FROM child GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_tok, t.source, t.event_seq, e.n_details, e.sum_detail_tok
+        FROM tok t JOIN emb e USING (doc_id)
+    """,
+    "cep_contiguous": f"""
+        WITH {TOKEN_CTE},
+        pos AS (
+          SELECT doc_id, source, event_seq,
+                 unnest(tokens) AS t, generate_subscripts(tokens, 1) AS i
+          FROM tok
+        )
+        SELECT a.doc_id, a.source, a.event_seq, COUNT(*) AS n_matches
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.t = {token_id('batch')} AND b.t = {token_id('batch')}
+        GROUP BY 1, 2, 3
+    """,
+    "filters_regex": r"""
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               COALESCE(upper(array_to_string(regexp_extract_all(text, '\b(s[a-z]*)', 1), ';')), '') AS extracted
+        FROM documents
+    """,
+}
+
+
+QUERIES = {
+    "token_table": q_token_table,
+    "tumbling_agg": q_tumbling_agg,
+    "sliding_agg": q_sliding_agg,
+    "distinct_docs": q_distinct_docs,
+    "topk_sources": q_topk_sources,
+    "session_events": q_session_events,
+    "join_details": q_join_details,
+    "cep_contiguous": q_cep_contiguous,
+    "filters_regex": q_filters_regex,
+}

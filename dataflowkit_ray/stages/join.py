@@ -1,0 +1,210 @@
+"""Stateful stream-stream join on ``doc_id`` — the details-join analog.
+
+The reference's central join (J1, SURVEY.md §2.4): a parent block stores a
+FK to a child payload's UID, and at encode time the reader recursively
+fetches the child rows and **embeds** them — one child row becomes a
+struct, N child rows become a list of structs
+(``/root/reference/scrape/encoders.go:207-241,233-239``).
+
+Engine design, Ray-Data-first:
+
+1. Within an epoch, the join is a hash-shuffle ``Dataset.join`` on
+   ``doc_id`` (Ray 2.49 native, ``num_partitions`` explicit).  ``doc_id``
+   is high-cardinality, so the hash partitioning is naturally balanced
+   (SURVEY.md §4: skew lives in ``source``, not ``doc_id``).
+2. The embed rule is a pre-aggregation of the child side:
+   ``child.groupby(doc_id) -> one row per key with details:list<struct>``.
+   That keeps the join itself 1:1 and reproduces the reference's
+   "N matches -> list" collapse (A2/A3, ``scrape/scrape.go:75-83``).
+3. *Across* epochs, unmatched rows wait in the hash-partitioned state
+   store (actor pool, ``dataflowkit_ray.state.store``) with a TTL in
+   epochs — see ``runner.StreamingJoin``.
+
+The child stream used by the flagship pipeline is the doc's own
+"detail blocks": fixed-size chunks of the token sequence — the analog of
+``divide`` splitting a page into repeated blocks
+(``/root/reference/scrape/scrape.go:447-517``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def explode_chunks(chunk_size: int = 16):
+    """map_batches fn: token stream -> child "detail" stream.
+
+    One output row per ``chunk_size``-token block:
+    (doc_id, chunk_idx:int32, chunk_n_tok:int32, chunk_tokens:list<int32>).
+    Vectorized flat-map (np.repeat + Arrow take + re-sliced list offsets).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        n_tok = pc.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = np.maximum(1, -(-n_tok // chunk_size))  # empty doc -> 1 empty chunk
+        row_idx = np.repeat(np.arange(len(n_tok)), n_chunks)
+        cum = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+        chunk_idx = (np.arange(n_chunks.sum()) - np.repeat(cum, n_chunks)).astype(np.int64)
+
+        flat = tokens.flatten()
+        list_off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        list_off = list_off - list_off[0]
+        starts = list_off[row_idx] + chunk_idx * chunk_size
+        ends = np.minimum(starts + chunk_size, list_off[row_idx + 1])
+        # build chunk_tokens as a ListArray over a gathered value buffer
+        lengths = ends - starts
+        val_idx = np.repeat(starts, lengths) + (
+            np.arange(lengths.sum()) - np.repeat(np.concatenate(([0], np.cumsum(lengths)))[:-1], lengths)
+        )
+        values = flat.take(pa.array(val_idx))
+        offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
+        chunk_tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
+
+        doc_id = batch["doc_id"]
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": doc_id.take(pa.array(row_idx)),
+                "chunk_idx": pa.array(chunk_idx.astype(np.int32)),
+                "chunk_n_tok": pa.array(lengths.astype(np.int32)),
+                "chunk_tokens": chunk_tokens,
+            }
+        )
+
+    return fn
+
+
+def cogroup_join_structs(parent_ds, child_ds, key: str = "doc_id"):
+    """Nested-embed join via cogroup: tagged union + one groupby shuffle.
+
+    Acero's hash join cannot carry ``list<struct>`` payload columns, so the
+    nested output path co-groups both streams instead — the direct analog
+    of the reference's merge-at-encode (``storageResultReader.Read``
+    recursively fetching child rows by FK and embedding them,
+    ``/root/reference/scrape/encoders.go:207-241``).
+
+    Output per parent row: parent columns (minus ``tokens``) +
+    ``n_details:int64`` + ``details: list<struct<chunk_idx:int32,
+    chunk_n_tok:int32>>`` ordered by chunk_idx.  1 child -> one-element
+    list (the scalar-vs-list rule of ``encoders.go:233-239`` is preserved
+    on values; Arrow requires one column type).
+    """
+
+    def tag_parent(t: pa.Table) -> pa.Table:
+        cols = [c for c in t.column_names if c != "tokens"]
+        t = t.select(cols)
+        n = len(t)
+        t = t.append_column("side", pa.array(np.zeros(n, dtype=np.int8)))
+        t = t.append_column("chunk_idx", pa.nulls(n, pa.int32()))
+        t = t.append_column("chunk_n_tok", pa.nulls(n, pa.int32()))
+        return t
+
+    parent_cols = [c for c in parent_ds.schema().names if c != "tokens"]
+
+    def tag_child(t: pa.Table) -> pa.Table:
+        n = len(t)
+        out = {key: t[key]}
+        for c in parent_cols:
+            if c == key:
+                continue
+            out[c] = pa.nulls(n, parent_schema_types[c])
+        out["side"] = pa.array(np.ones(n, dtype=np.int8))
+        out["chunk_idx"] = t["chunk_idx"]
+        out["chunk_n_tok"] = t["chunk_n_tok"]
+        return pa.table(out)
+
+    parent_schema = parent_ds.schema()
+    parent_schema_types = {
+        n_: parent_schema.types[i] for i, n_ in enumerate(parent_schema.names)
+    }
+
+    tagged = parent_ds.map_batches(tag_parent, batch_format="pyarrow").union(
+        child_ds.map_batches(tag_child, batch_format="pyarrow")
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        parents = t.filter(pa.array(side == 0))
+        children = t.filter(pa.array(side == 1))
+        if len(parents) == 0:
+            # child rows with no parent in this epoch: inner-join drops them
+            # (the streaming runner buffers them in the state store instead)
+            out = {c: pa.array([], type=parent_schema_types[c]) for c in parent_cols}
+            out["n_details"] = pa.array([], type=pa.int64())
+            out["details"] = pa.array(
+                [],
+                type=pa.list_(
+                    pa.struct([("chunk_idx", pa.int32()), ("chunk_n_tok", pa.int32())])
+                ),
+            )
+            return pa.table(out)
+        order = pc.sort_indices(children, sort_keys=[("chunk_idx", "ascending")])
+        children = children.take(order)
+        detail_struct = pa.StructArray.from_arrays(
+            [children["chunk_idx"].combine_chunks(), children["chunk_n_tok"].combine_chunks()],
+            names=["chunk_idx", "chunk_n_tok"],
+        )
+        details = pa.ListArray.from_arrays(
+            pa.array([0, len(children)], type=pa.int32()), detail_struct
+        )
+        out = parents.select([c for c in parent_cols])
+        out = out.append_column("n_details", pa.array([len(children)] * len(parents), type=pa.int64()))
+        out = out.append_column("details", pa.concat_arrays([details] * len(parents)) if len(parents) > 1 else details)
+        return out
+
+    return tagged.groupby(key).map_groups(fold, batch_format="pyarrow")
+
+
+def join_details(
+    parent_ds,
+    child_ds,
+    key: str = "doc_id",
+    num_partitions: int = 16,
+    with_struct: bool = False,
+):
+    """Parent ⋈ embedded children on ``doc_id`` (inner, 1:1 after embed).
+
+    ``with_struct=False`` drops the nested ``details`` column (cheap path
+    for aggregate-only consumers and the SQL oracle); ``True`` keeps it.
+    """
+    if with_struct:
+        return cogroup_join_structs(parent_ds, child_ds, key=key)
+    else:
+        # aggregate-only embed: two-phase (per-batch combiner -> small
+        # groupby), no per-group python — the scale path.
+        from ray.data.aggregate import Sum
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by([key]).aggregate(
+                [("chunk_n_tok", "count"), ("chunk_n_tok", "sum")]
+            )
+            return g.rename_columns([key, "cnt", "tok_sum"])
+
+        embedded = (
+            child_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(
+                Sum("cnt", alias_name="n_details"),
+                Sum("tok_sum", alias_name="sum_detail_tok"),
+            )
+        )
+    parent = parent_ds.drop_columns(["tokens"]) if "tokens" in parent_ds.schema().names else parent_ds
+    return parent.join(
+        embedded,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key,),
+    )
+
+
+def semi_join_route(parent_ds, key_col: str = "doc_id"):
+    """IsPath-mode routing (J2): project the key stream only, emit no data
+    rows — intermediate hops exist solely to feed keys to the next stage
+    (``/root/reference/scrape/scrape.go:538-545``)."""
+    return parent_ds.select_columns([key_col])

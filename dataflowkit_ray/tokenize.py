@@ -1,0 +1,173 @@
+"""Deterministic documents -> pre-tokenized sequence table.
+
+The engine's mandated input shape (BASELINE.json ``input_hint``) is::
+
+    doc_id: string, tokens: list<int32>, n_tok: int32, source: string
+
+The driver's test tables ship a ``documents`` table (doc_id:int64, text,
+lang, source, n_chars).  This module derives the token table from it
+**deterministically and SQL-expressibly** so the DuckDB oracle can compute
+byte-identical token arrays:
+
+    token(word) = (length(word) * 256 + first_codepoint(word)) % 32000
+    (empty word -> first_codepoint treated as 0)
+
+DuckDB equivalent (used verbatim in __ray_entry__.oracle_sql)::
+
+    list_transform(str_split(text, ' '),
+        w -> CAST((length(w)*256 + CASE WHEN w='' THEN 0 ELSE ord(w) END)
+                  % 32000 AS INTEGER))
+
+This mirrors the reference's parse stage (HTML page -> extracted values,
+``/root/reference/scrape/scrape.go:28-85``): a pure, per-record map done
+vectorized inside ``map_batches`` over zero-copy Arrow batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataflowkit_ray.config import VOCAB_MOD, FNV_OFFSET, FNV_PRIME, MASK64
+
+# The single source of truth for the DuckDB-side tokenizer (oracle parity).
+TOKEN_SQL_EXPR = (
+    "list_transform(str_split(text, ' '), "
+    "w -> CAST((length(w)*256 + CASE WHEN w='' THEN 0 ELSE ord(w) END) "
+    "% 32000 AS INTEGER))"
+)
+
+TOKEN_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+        ("source", pa.string()),
+        ("event_seq", pa.int64()),
+    ]
+)
+
+
+def token_id(word: str) -> int:
+    """Scalar tokenizer (tests / pattern authoring)."""
+    first = ord(word[0]) if word else 0
+    return (len(word) * 256 + first) % VOCAB_MOD
+
+
+def _first_codepoints(flat: pa.StringArray) -> np.ndarray:
+    """First codepoint of every string in a flat array (0 for empty).
+
+    ASCII fast path reads the raw value buffer; non-ASCII entries (first
+    byte >= 0x80) fall back to python ``ord`` — rare by construction.
+    """
+    arr = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts, ends = offsets[:-1], offsets[1:]
+    first = np.zeros(len(arr), dtype=np.int64)
+    nonempty = ends > starts
+    first[nonempty] = data[starts[nonempty]]
+    multibyte = first >= 0x80
+    if multibyte.any():
+        idx = np.nonzero(multibyte)[0]
+        vals = arr.take(pa.array(idx)).to_pylist()
+        for i, s in zip(idx, vals):
+            first[i] = ord(s[0])
+    return first
+
+
+def tokenize_text(text: pa.Array | pa.ChunkedArray) -> tuple[pa.ListArray, pa.Array]:
+    """Vectorized text -> (tokens list<int32>, n_tok int32)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern(text, pattern=" ")
+    flat = words.flatten()
+    lengths = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    first = _first_codepoints(flat)
+    tok = ((lengths * 256 + first) % VOCAB_MOD).astype(np.int32)
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int32)
+    offsets = offsets - offsets[0]
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(tok, type=pa.int32()))
+    n_tok = pc.cast(pc.list_value_length(tokens), pa.int32())
+    return tokens, n_tok
+
+
+def tokenize_documents(batch: pa.Table) -> pa.Table:
+    """map_batches fn: documents batch -> token-stream batch.
+
+    ``event_seq`` (the doc-order event clock, SURVEY.md §2.8) is the
+    original int64 doc_id — monotone in file order, so it doubles as the
+    watermark domain without depending on row arrival order.
+    """
+    tokens, n_tok = tokenize_text(batch["text"])
+    doc_id_int = batch["doc_id"]
+    if isinstance(doc_id_int, pa.ChunkedArray):
+        doc_id_int = doc_id_int.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": pc.cast(doc_id_int, pa.string()),
+            "tokens": tokens,
+            "n_tok": n_tok,
+            "source": batch["source"],
+            "event_seq": pc.cast(doc_id_int, pa.int64()),
+        }
+    )
+
+
+def load_token_stream(sf_dir: str, *, columns_extra: tuple[str, ...] = ()):
+    """documents.parquet -> token-stream Dataset (the engine's source).
+
+    Column-prunes at the read (only doc_id/text/source leave storage) and
+    tokenizes inside ``map_batches`` with zero-copy Arrow batches.
+    """
+    import ray.data
+
+    cols = ["doc_id", "text", "source", *columns_extra]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    return ds.map_batches(tokenize_documents, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fnv1a64_numpy(values: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a over the *byte representation* of an
+    int32/int64 array, one hash per element group is NOT what this does —
+    it hashes each element independently (8 bytes little-endian).
+    Used for salts and shard routing."""
+    v = values.astype(np.uint64)
+    h = np.full(v.shape, FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(FNV_PRIME)
+    for shift in range(0, 64, 8):
+        byte = (v >> np.uint64(shift)) & np.uint64(0xFF)
+        h = (h ^ byte) * prime
+    return h
+
+
+def hash_token_lists(tokens: pa.ListArray) -> np.ndarray:
+    """Content hash of each token list (FNV-1a over int32 LE bytes),
+    vectorized via segment-wise reduction.  This is the engine's analog of
+    the reference's content-hash UID (MD5+CRC32 of the canonical payload,
+    ``/root/reference/scrape/scrape.go:134-155``) applied per row: the
+    exact-dedup / idempotency key."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    flat = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.uint32)
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    n = len(tokens)
+    out = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(FNV_PRIME)
+    lengths = np.diff(offsets)
+    max_len = int(lengths.max()) if n else 0
+    # iterate over positions (bounded by max list length), vectorized over rows
+    for pos in range(max_len):
+        active = lengths > pos
+        idx = offsets[:-1][active] + pos
+        vals = flat[idx].astype(np.uint64)
+        h = out[active]
+        for shift in range(0, 32, 8):
+            byte = (vals >> np.uint64(shift)) & np.uint64(0xFF)
+            h = (h ^ byte) * prime
+        out[active] = h
+    return out

@@ -1,0 +1,110 @@
+"""CEP/NFA stage vs a brute-force python oracle (reference analog: the
+selector-chain first-match semantics, SURVEY.md §2.10)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dataflowkit_ray.stages.cep import (
+    Pattern,
+    Step,
+    StreamingMatcher,
+    match_pattern_batch,
+)
+
+
+def _batch(seqs):
+    return pa.table(
+        {
+            "doc_id": pa.array([str(i) for i in range(len(seqs))]),
+            "tokens": pa.array(seqs, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(s) for s in seqs], type=pa.int32()),
+            "source": pa.array(["s"] * len(seqs)),
+            "event_seq": pa.array(range(len(seqs)), type=pa.int64()),
+        }
+    )
+
+
+def brute_force(seq, pattern):
+    """Oracle: leftmost-greedy NFA scan, overlapping or not."""
+    out = []
+    resume = 0
+    for s in range(len(seq)):
+        if pattern.mode == "nonoverlapping" and s < resume:
+            continue
+        if not pattern.steps[0].mask(np.array([seq[s]]))[0]:
+            continue
+        pos, ok = s, True
+        for j in range(1, len(pattern.steps)):
+            gap = pattern.steps[j].max_gap
+            nxt = None
+            for p in range(pos + 1, min(pos + 2 + gap, len(seq))):
+                if pattern.steps[j].mask(np.array([seq[p]]))[0]:
+                    nxt = p
+                    break
+            if nxt is None:
+                ok = False
+                break
+            pos = nxt
+        if ok:
+            out.append((s, pos + 1))
+            resume = pos + 1
+    return out
+
+
+PATTERNS = [
+    Pattern(steps=(Step(literal=3), Step(literal=3))),
+    Pattern(steps=(Step(literal=3), Step(literal=3)), mode="nonoverlapping"),
+    Pattern(steps=(Step(literal=1), Step(literal=2, max_gap=2), Step(literal=3, max_gap=1))),
+    Pattern(steps=(Step(any_of=(1, 2)), Step(residue=(2, 0), max_gap=3))),
+    Pattern(steps=(Step(residue=(5, 0)),)),
+]
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_matches_equal_brute_force(pattern):
+    rng = np.random.RandomState(42)
+    seqs = [rng.randint(0, 6, size=rng.randint(0, 30)).tolist() for _ in range(50)]
+    got = match_pattern_batch(pattern)(_batch(seqs))
+    got_by_doc = {}
+    for d, s, e in zip(
+        got["doc_id"].to_pylist(),
+        got["match_start"].to_pylist(),
+        got["match_end"].to_pylist(),
+    ):
+        got_by_doc.setdefault(d, []).append((s, e))
+    exp_by_doc = {
+        str(i): bf for i, seq in enumerate(seqs) if (bf := brute_force(seq, pattern))
+    }
+    assert got_by_doc == exp_by_doc
+
+
+def test_empty_batch_keeps_schema():
+    out = match_pattern_batch(PATTERNS[0])(_batch([[1, 2], []]))
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "source", "event_seq", "match_start", "match_end"]
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_streaming_nfa_equivalent_to_batch(pattern):
+    """Token-at-a-time StreamingMatcher must reproduce the batch scanner,
+    including when the stream is cut at arbitrary batch boundaries (state
+    carried across the cut — the cross-epoch CEP case)."""
+    rng = np.random.RandomState(7)
+    for trial in range(30):
+        seq = rng.randint(0, 6, size=rng.randint(0, 40)).tolist()
+        m = StreamingMatcher(pattern)
+        stream_matches = []
+        for i, tok in enumerate(seq):
+            stream_matches.extend(m.feed(tok, i))
+        assert stream_matches == brute_force(seq, pattern), (trial, seq)
+        # cut in half, carry runs across the boundary
+        m1 = StreamingMatcher(pattern)
+        got = []
+        cut = len(seq) // 2
+        for i, tok in enumerate(seq[:cut]):
+            got.extend(m1.feed(tok, i))
+        m2 = StreamingMatcher(pattern, runs=m1.runs)
+        for i, tok in enumerate(seq[cut:], start=cut):
+            got.extend(m2.feed(tok, i))
+        assert got == brute_force(seq, pattern)

@@ -1,0 +1,76 @@
+"""Details join: chunk explode, aggregate embed, nested-struct embed —
+including the reference's 1-vs-many embed rule
+(/root/reference/scrape/encoders.go:233-239)."""
+
+import numpy as np
+import pyarrow as pa
+
+from dataflowkit_ray.stages.join import (
+    cogroup_join_structs,
+    explode_chunks,
+    join_details,
+    semi_join_route,
+)
+from dataflowkit_ray.tokenize import load_token_stream
+
+
+def _tok_tbl(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+            "source": pa.array(["s"] * len(rows)),
+            "event_seq": pa.array(range(len(rows)), type=pa.int64()),
+        }
+    )
+
+
+def test_explode_chunks_exact():
+    t = _tok_tbl([("a", list(range(5))), ("b", list(range(7))), ("c", [])])
+    out = explode_chunks(chunk_size=3)(t)
+    assert out["doc_id"].to_pylist() == ["a", "a", "b", "b", "b", "c"]
+    assert out["chunk_idx"].to_pylist() == [0, 1, 0, 1, 2, 0]
+    assert out["chunk_n_tok"].to_pylist() == [3, 2, 3, 3, 1, 0]
+    assert out["chunk_tokens"].to_pylist() == [
+        [0, 1, 2],
+        [3, 4],
+        [0, 1, 2],
+        [3, 4, 5],
+        [6],
+        [],
+    ]
+
+
+def test_join_details_invariants(sf_dir):
+    import ray.data
+
+    ds = load_token_stream(sf_dir)
+    child = ds.map_batches(explode_chunks(16), batch_format="pyarrow")
+    df = join_details(ds, child, num_partitions=4).to_pandas()
+    assert len(df) == 500
+    assert (df.n_details == np.maximum(1, -(-df.n_tok // 16))).all()
+    assert (df.sum_detail_tok == df.n_tok).all()
+
+
+def test_struct_embed_rule():
+    """1 child -> one-element list; N children -> ordered list (the
+    scalar-vs-list collapse of the reference)."""
+    import ray.data
+
+    t = _tok_tbl([("a", list(range(5))), ("b", list(range(40)))])
+    parent = ray.data.from_arrow(t)
+    child = parent.map_batches(explode_chunks(16), batch_format="pyarrow")
+    out = {r["doc_id"]: r for r in cogroup_join_structs(parent, child).take_all()}
+    assert out["a"]["n_details"] == 1
+    assert [d["chunk_idx"] for d in out["a"]["details"]] == [0]
+    assert out["b"]["n_details"] == 3
+    assert [d["chunk_idx"] for d in out["b"]["details"]] == [0, 1, 2]
+    assert [d["chunk_n_tok"] for d in out["b"]["details"]] == [16, 16, 8]
+
+
+def test_semi_join_route(sf_dir):
+    ds = load_token_stream(sf_dir).limit(10)
+    routed = semi_join_route(ds)
+    assert routed.schema().names == ["doc_id"]
+    assert routed.count() == 10
