@@ -1,0 +1,163 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Times the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32).
+
+``--scaling`` runs the flagship pipeline twice in *fresh processes*
+(num_cpus=8 then num_cpus=32) on the same input and reports throughput at
+both plus scaling efficiency = (thr32 / thr8) / 4 — the in-sandbox
+evidence for the N-vs-4N-nodes criterion (BASELINE.md "Engine target").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# deterministic stream-volume multiplier for the flagship headline metric
+# (documents at sf0.1 is only 5k rows; repeat=20 -> 100k distinct docs)
+REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "100"))
+# --scaling needs enough volume that compute dominates fixed overhead
+SCALING_REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "500"))
+
+
+_SINK_SEQ = [0]
+
+
+def _consume(ds) -> int:
+    """Execute the pipeline to a distributed Parquet sink (never pull
+    result rows through the driver — a 1.5M-row driver fetch serialized
+    the whole bench) and return the row count from sink metadata."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    _SINK_SEQ[0] += 1
+    out = f"/tmp/bench_out/q{_SINK_SEQ[0]}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds.write_parquet(out)
+    return pq.ParquetDataset(out).count_rows() if hasattr(pq.ParquetDataset, "count_rows") else sum(
+        pq.read_metadata(f).num_rows
+        for f in __import__("glob").glob(f"{out}/*.parquet")
+    )
+
+
+def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    from dataflowkit_ray.pipelines.flagship import flagship_pipeline
+    from dataflowkit_ray.pipelines.queries import QUERIES
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    t0 = time.perf_counter()
+    rows["flagship"] = _consume(flagship_pipeline(sf_dir, repeat=REPEAT))
+    times["flagship"] = time.perf_counter() - t0
+
+    for name in (
+        "tumbling_agg",
+        "sliding_agg",
+        "distinct_docs",
+        "topk_sources",
+        "session_events",
+        "join_details",
+        "cep_contiguous",
+        "filters_regex",
+    ):
+        t0 = time.perf_counter()
+        rows[name] = _consume(QUERIES[name](sf_dir))
+        times[name] = time.perf_counter() - t0
+    return times, rows
+
+
+def n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def run_once(num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        times, rows = bench_queries(SF_DIR)
+        total = sum(times.values())
+        docs = n_docs(SF_DIR) * REPEAT
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        return {
+            "metric": "flagship_seq_per_sec",
+            "value": round(docs / times["flagship"], 2),
+            "unit": "seq/sec",
+            "total_sec": round(total, 3),
+            "queries": {k: round(v, 3) for k, v in times.items()},
+            "rows": rows,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "docs": docs,
+            "repeat": REPEAT,
+        }
+    finally:
+        ray.shutdown()
+
+
+def _scaling_child(num_cpus: int) -> dict:
+    """Run the flagship alone in a fresh process; parse its JSON line."""
+    code = (
+        "import json,time,ray,os,sys;"
+        f"ray.init(address='local', num_cpus={num_cpus}, include_dashboard=False);"
+        "sys.path.insert(0, os.getcwd());"
+        "from dataflowkit_ray.pipelines.flagship import flagship_pipeline;"
+        "import bench;"
+        f"bench._consume(flagship_pipeline({SF_DIR!r}, repeat=1));"
+        "t0=time.perf_counter();"
+        f"n=bench._consume(flagship_pipeline({SF_DIR!r}, repeat={SCALING_REPEAT}));"
+        "el=time.perf_counter()-t0;"
+        f"docs=bench.n_docs({SF_DIR!r})*{SCALING_REPEAT};"
+        "print(json.dumps({'num_cpus': %d, 'sec': round(el,3),"
+        " 'seq_per_sec': round(docs/el,2)}));"
+        "ray.shutdown()" % num_cpus
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=1800,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"scaling child failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = _scaling_child(lo)
+        r_hi = _scaling_child(hi)
+        eff = (r_hi["seq_per_sec"] / r_lo["seq_per_sec"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "fraction",
+                    "low": r_lo,
+                    "high": r_hi,
+                    "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                }
+            )
+        )
+        return
+    print(json.dumps(run_once(NUM_CPUS)))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,7 +53,7 @@ def q_tumbling_agg(sf_dir: str):
     ds = load_token_stream(sf_dir).map_batches(
         lambda b: assign_tumbling(b, CFG.tumbling_size), batch_format="pyarrow"
     )
-    return windowed_sum(ds, batch_size=CFG.batch_size)
+    return windowed_sum(ds)
 
 
 def q_sliding_agg(sf_dir: str):
@@ -61,14 +61,14 @@ def q_sliding_agg(sf_dir: str):
         lambda b: assign_sliding(b, CFG.sliding_size, CFG.sliding_slide),
         batch_format="pyarrow",
     )
-    return windowed_sum(ds, batch_size=CFG.batch_size)
+    return windowed_sum(ds)
 
 
 def q_distinct_docs(sf_dir: str):
     ds = load_token_stream(sf_dir).map_batches(
         lambda b: assign_tumbling(b, CFG.tumbling_size), batch_format="pyarrow"
     )
-    return salted_distinct_docs(ds, n_salts=CFG.n_salts, batch_size=CFG.batch_size)
+    return salted_distinct_docs(ds, n_salts=CFG.n_salts)
 
 
 def q_topk_sources(sf_dir: str):
@@ -82,7 +82,8 @@ def q_session_events(sf_dir: str):
     """Session windows with 30-min gap over real event timestamps, keyed by
     user — the pagination-chain-as-session analog (SURVEY.md §2.8)."""
     import ray.data
-    from ray.data.aggregate import Count
+
+    from dataflowkit_ray.stages.agg import hash_agg
 
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
@@ -97,7 +98,7 @@ def q_session_events(sf_dir: str):
     ev = ev.map_batches(to_clock, batch_format="pyarrow")
     gap_us = 30 * 60 * 1_000_000
     sess = assign_sessions(ev, gap=gap_us, key_col="user_id", clock_col="t")
-    return sess.groupby(["user_id", "session_id"]).aggregate(Count(alias_name="n_events"))
+    return hash_agg(sess, ("user_id", "session_id"), [("t", "count", "n_events")])
 
 
 def q_join_details(sf_dir: str):
@@ -111,7 +112,7 @@ def q_cep_contiguous(sf_dir: str):
     (overlapping scan) — the SQL-expressible CEP case."""
     b = token_id("batch")
     pat = Pattern(steps=(Step(literal=b), Step(literal=b)), mode="overlapping")
-    return match_counts(load_token_stream(sf_dir), pat, batch_size=CFG.batch_size)
+    return match_counts(load_token_stream(sf_dir), pat)
 
 
 def q_filters_regex(sf_dir: str):

@@ -205,7 +205,7 @@ def match_pattern_batch(pattern: Pattern):
     return fn
 
 
-def match_counts(ds, pattern: Pattern, batch_size: int = 8192):
+def match_counts(ds, pattern: Pattern, batch_size: int | None = None):
     """Matches per doc: (doc_id, source, event_seq, n_matches) — docs with
     zero matches are absent (NotError-skip semantics)."""
     from ray.data.aggregate import Count

@@ -176,23 +176,19 @@ def join_details(
     if with_struct:
         return cogroup_join_structs(parent_ds, child_ds, key=key)
     else:
-        # aggregate-only embed: two-phase (per-batch combiner -> small
-        # groupby), no per-group python — the scale path.
-        from ray.data.aggregate import Sum
+        # aggregate-only embed: two-phase bucket aggregate (hash_agg) —
+        # never Ray's per-group-python groupby (doc_id cardinality is the
+        # stream size).
+        from dataflowkit_ray.stages.agg import hash_agg
 
-        def partial(t: pa.Table) -> pa.Table:
-            g = t.group_by([key]).aggregate(
-                [("chunk_n_tok", "count"), ("chunk_n_tok", "sum")]
-            )
-            return g.rename_columns([key, "cnt", "tok_sum"])
-
-        embedded = (
-            child_ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(key)
-            .aggregate(
-                Sum("cnt", alias_name="n_details"),
-                Sum("tok_sum", alias_name="sum_detail_tok"),
-            )
+        embedded = hash_agg(
+            child_ds,
+            (key,),
+            [
+                ("chunk_n_tok", "count", "n_details"),
+                ("chunk_n_tok", "sum", "sum_detail_tok"),
+            ],
+            n_buckets=num_partitions * 4,
         )
     parent = parent_ds.drop_columns(["tokens"]) if "tokens" in parent_ds.schema().names else parent_ds
     return parent.join(

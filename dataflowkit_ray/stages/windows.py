@@ -23,7 +23,6 @@ the shuffle, and the optional salt splits even the *distinct-count* state
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -73,35 +72,86 @@ def assign_sliding(
     return out.append_column("window_id", pa.array(wids))
 
 
-def session_map_groups(
-    gap: int, key_col: str = "source", clock_col: str = "event_seq"
-):
-    """Returns a ``map_groups`` fn assigning session ids within one key group.
+def bucket_of(arr: pa.Array | pa.ChunkedArray, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket id per element (int or string arrays).
 
-    Session id = first clock value of the session (deterministic).  Runs
-    after a ``groupby(key)`` shuffle; inside the group everything is
-    vectorized numpy.  Sessions spanning micro-batch epochs are merged by
-    the runner via session-state carry-over (state store).
+    The scale pattern for keyed stages with MANY keys: shuffle on
+    ``hash(key) % n_buckets`` instead of the raw key, then process every
+    key of a bucket vectorized in ONE call — per-group python calls don't
+    survive 10^6+ keys.  String hashing runs over the (small) dictionary
+    of uniques only.
     """
+    import zlib
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(clock_col, kind="mergesort").reset_index(drop=True)
-        t = df[clock_col].to_numpy(dtype=np.int64)
-        if len(t) == 0:
-            df["session_id"] = np.array([], dtype=np.int64)
-            return df
-        new_session = np.concatenate(([True], np.diff(t) > gap))
-        starts = t[new_session]
-        df["session_id"] = np.repeat(starts, np.diff(np.concatenate((np.nonzero(new_session)[0], [len(t)]))))
-        return df
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        h = fnv1a64_numpy(arr.to_numpy(zero_copy_only=False).astype(np.int64))
+    else:
+        d = arr.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        uh = np.fromiter(
+            (zlib.crc32(str(u).encode()) for u in uniq), count=len(uniq), dtype=np.int64
+        )
+        h = fnv1a64_numpy(uh[d.indices.to_numpy(zero_copy_only=False)])
+    return (h % np.uint64(n_buckets)).astype(np.int64)
 
-    return fn
+
+def sessionize_table(
+    t: pa.Table, gap: int, key_col: str, clock_col: str
+) -> pa.Table:
+    """Vectorized gap-merge sessionization of ALL keys in one table.
+
+    Sort by (key, clock); a new session starts at a key change or a clock
+    gap > G.  Session id = first clock value of the session — data-derived
+    (deterministic on replay, SURVEY.md §7 "bit-identical resume")."""
+    if len(t) == 0:
+        return t.append_column("session_id", pa.array([], type=pa.int64()))
+    idx = pc.sort_indices(
+        t, sort_keys=[(key_col, "ascending"), (clock_col, "ascending")]
+    )
+    t = t.take(idx)
+    keys = t[key_col]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    codes = keys.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    clock = t[clock_col]
+    if isinstance(clock, pa.ChunkedArray):
+        clock = clock.combine_chunks()
+    clock = clock.to_numpy(zero_copy_only=False).astype(np.int64)
+    new_s = np.ones(len(t), dtype=bool)
+    new_s[1:] = (codes[1:] != codes[:-1]) | (np.diff(clock) > gap)
+    starts_idx = np.nonzero(new_s)[0]
+    counts = np.diff(np.append(starts_idx, len(t)))
+    session_id = np.repeat(clock[starts_idx], counts)
+    if "session_id" in t.column_names:
+        t = t.drop_columns(["session_id"])
+    return t.append_column("session_id", pa.array(session_id))
 
 
-def assign_sessions(ds, gap: int, key_col: str = "source", clock_col: str = "event_seq"):
-    """Dataset-level session assignment: one shuffle on the session key."""
-    return ds.groupby(key_col).map_groups(
-        session_map_groups(gap, key_col, clock_col), batch_format="pandas"
+def assign_sessions(
+    ds,
+    gap: int,
+    key_col: str = "source",
+    clock_col: str = "event_seq",
+    n_buckets: int = 64,
+):
+    """Dataset-level session assignment: one bucket shuffle.
+
+    All events of a key land in one bucket (``hash(key) % n_buckets``);
+    each bucket is sessionized vectorized in a single call.  ``n_buckets``
+    bounds shuffle fan-in and scales with the cluster, not the key count."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t[key_col], n_buckets)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return sessionize_table(t, gap, key_col, clock_col).drop_columns(["_bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -125,16 +175,15 @@ def partial_window_agg(keys: tuple[str, ...] = ("source", "window_id")):
     return fn
 
 
-def windowed_sum(ds, keys: tuple[str, ...] = ("source", "window_id"), batch_size: int = 8192):
-    """sum(n_tok) + row count per window key, two-phase."""
-    from ray.data.aggregate import Sum
+def windowed_sum(ds, keys: tuple[str, ...] = ("source", "window_id"), batch_size: int | None = None):
+    """sum(n_tok) + row count per window key, two-phase (bucket shuffle)."""
+    from dataflowkit_ray.stages.agg import hash_agg
 
-    partials = ds.map_batches(
-        partial_window_agg(keys), batch_format="pyarrow", batch_size=batch_size
-    )
-    return partials.groupby(list(keys)).aggregate(
-        Sum("n_tok_sum", alias_name="sum_n_tok"),
-        Sum("rows", alias_name="n_rows"),
+    return hash_agg(
+        ds,
+        keys,
+        [("n_tok", "sum", "sum_n_tok"), ("n_tok", "count", "n_rows")],
+        batch_size=batch_size,
     )
 
 
@@ -142,7 +191,7 @@ def salted_distinct_docs(
     ds,
     keys: tuple[str, ...] = ("source", "window_id"),
     n_salts: int = 16,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
 ):
     """Exact count-distinct(doc_id) per window key, salted two-phase.
 
@@ -154,7 +203,6 @@ def salted_distinct_docs(
     window) across ``n_salts`` reducers; because the salt is a pure
     function of doc_id, the same doc never double-counts across salts.
     """
-    from ray.data.aggregate import Sum
 
     key_list = list(keys)
 
@@ -183,15 +231,32 @@ def salted_distinct_docs(
 
     deduped = ds.map_batches(dedupe_batch, batch_format="pyarrow", batch_size=batch_size)
 
-    def count_group(t: pa.Table) -> pa.Table:
-        g = t.group_by(key_list + ["salt"]).aggregate([("doc_h", "count_distinct")])
-        return g.rename_columns(key_list + ["salt", "part_distinct"])
+    # phase 2: shuffle on hash(keys, salt) % n_buckets — all rows of one
+    # (keys, salt) meet in one bucket; count-distinct for EVERY group in
+    # the bucket happens in one vectorized Arrow call (bucket pattern:
+    # per-group python calls don't survive many windows).
+    n_buckets = 4 * n_salts
 
-    per_salt = deduped.groupby(key_list + ["salt"]).map_groups(
-        count_group, batch_format="pyarrow"
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), dtype=np.uint64)
+        for k in key_list + ["salt"]:
+            h = h * np.uint64(1099511628211) + bucket_of(t[k], 1 << 30).astype(np.uint64)
+        return t.append_column("_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    def count_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by(key_list + ["salt"]).aggregate([("doc_h", "count_distinct")])
+        g = g.rename_columns(key_list + ["salt", "part_distinct"])
+        return g.drop_columns(["salt"])
+
+    per_salt = (
+        deduped.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(count_bucket, batch_format="pyarrow")
     )
-    return per_salt.groupby(key_list).aggregate(
-        Sum("part_distinct", alias_name="n_distinct_docs")
+    from dataflowkit_ray.stages.agg import hash_agg
+
+    return hash_agg(
+        per_salt, tuple(key_list), [("part_distinct", "sum", "n_distinct_docs")]
     )
 
 
@@ -201,7 +266,7 @@ def topk_sources(ds, k: int = 5, by: str = "sum_n_tok"):
     Runs on the already-aggregated (small) stream: a global sort of the
     per-source totals, then ``limit`` — never a sort of the raw stream.
     """
-    from ray.data.aggregate import Sum
+    from dataflowkit_ray.stages.agg import hash_agg
 
-    per_source = ds.groupby("source").aggregate(Sum(by, alias_name="total_n_tok"))
+    per_source = hash_agg(ds, ("source",), [(by, "sum", "total_n_tok")], n_buckets=8)
     return per_source.sort(["total_n_tok", "source"], descending=[True, False]).limit(k)

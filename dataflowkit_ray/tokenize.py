@@ -117,7 +117,43 @@ def tokenize_documents(batch: pa.Table) -> pa.Table:
     )
 
 
-def load_token_stream(sf_dir: str, *, columns_extra: tuple[str, ...] = ()):
+def replicate_stream(repeat: int, id_stride: int = 10_000_000):
+    """map_batches fn: deterministically scale a token stream ``repeat``×.
+
+    Each replica r shifts ``event_seq`` (and the derived ``doc_id``) by
+    ``r * id_stride`` — replicas are distinct documents in distinct
+    windows, so joins stay 1:1 and window counts grow ``repeat``×.  Used
+    by the bench to drive realistic volume from the small test tables
+    (allowed: deterministic small-scale synthesis, no external data).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        if repeat <= 1:
+            return t
+        seq = t["event_seq"]
+        if isinstance(seq, pa.ChunkedArray):
+            seq = seq.combine_chunks()
+        seq = seq.to_numpy(zero_copy_only=False)
+        parts = []
+        for r in range(repeat):
+            shifted = pa.array(seq + r * id_stride)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pc.cast(shifted, pa.string()),
+                        "tokens": t["tokens"],
+                        "n_tok": t["n_tok"],
+                        "source": t["source"],
+                        "event_seq": shifted,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return fn
+
+
+def load_token_stream(sf_dir: str, *, columns_extra: tuple[str, ...] = (), repeat: int = 1):
     """documents.parquet -> token-stream Dataset (the engine's source).
 
     Column-prunes at the read (only doc_id/text/source leave storage) and
@@ -127,7 +163,10 @@ def load_token_stream(sf_dir: str, *, columns_extra: tuple[str, ...] = ()):
 
     cols = ["doc_id", "text", "source", *columns_extra]
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
-    return ds.map_batches(tokenize_documents, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(tokenize_documents, batch_format="pyarrow", zero_copy_batch=True)
+    if repeat > 1:
+        ds = ds.map_batches(replicate_stream(repeat), batch_format="pyarrow")
+    return ds
 
 
 def fnv1a64_numpy(values: np.ndarray) -> np.ndarray:

@@ -11,7 +11,7 @@ from dataflowkit_ray.stages.windows import (
     assign_sliding,
     assign_tumbling,
     salted_distinct_docs,
-    session_map_groups,
+    sessionize_table,
     topk_sources,
     windowed_sum,
 )
@@ -61,17 +61,34 @@ def test_sliding_tumbling_equivalence():
 
 
 def test_session_gap_merge():
-    fn = session_map_groups(gap=5, clock_col="event_seq")
-    df = pd.DataFrame({"event_seq": [0, 3, 4, 15, 16, 30], "source": "s"})
-    out = fn(df.sample(frac=1, random_state=7))  # order-independent
-    assert out.sort_values("event_seq").session_id.tolist() == [0, 0, 0, 15, 15, 30]
+    # multi-key, shuffled input: sessionize_table is order-independent
+    t = pa.table(
+        {
+            "event_seq": [16, 0, 30, 3, 4, 15, 2, 50],
+            "source": ["s", "s", "s", "s", "s", "s", "z", "z"],
+        }
+    )
+    out = sessionize_table(t, gap=5, key_col="source", clock_col="event_seq")
+    got = sorted(
+        zip(out["source"].to_pylist(), out["event_seq"].to_pylist(), out["session_id"].to_pylist())
+    )
+    assert got == [
+        ("s", 0, 0),
+        ("s", 3, 0),
+        ("s", 4, 0),
+        ("s", 15, 15),
+        ("s", 16, 15),
+        ("s", 30, 30),
+        ("z", 2, 2),
+        ("z", 50, 50),
+    ]
 
 
 def test_session_single_and_empty():
-    fn = session_map_groups(gap=5)
-    assert fn(pd.DataFrame({"event_seq": [42], "source": "s"})).session_id.tolist() == [42]
-    out = fn(pd.DataFrame({"event_seq": pd.Series([], dtype=np.int64), "source": []}))
-    assert len(out) == 0
+    one = pa.table({"event_seq": [42], "source": ["s"]})
+    assert sessionize_table(one, 5, "source", "event_seq")["session_id"].to_pylist() == [42]
+    empty = pa.table({"event_seq": pa.array([], pa.int64()), "source": pa.array([], pa.string())})
+    assert len(sessionize_table(empty, 5, "source", "event_seq")) == 0
 
 
 def test_windowed_sum_matches_pandas(sf_dir):
