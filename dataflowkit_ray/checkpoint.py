@@ -1,0 +1,79 @@
+"""Epoch checkpoints: {offsets, watermark, state snapshots, metrics}.
+
+Layout::
+
+    <ckpt_dir>/epoch=K/state-shard-<i>.bin   (pickled shard snapshot)
+    <ckpt_dir>/epoch=K/meta.json             (written LAST, atomically)
+
+A checkpoint exists iff its ``meta.json`` exists — a crash mid-write
+leaves no half-checkpoint visible (same atomic-rename discipline as the
+sink manifests).  The reference persists intermediate rows under
+deterministic keys so encode can be redone (``/root/reference/
+scrape/scrape.go:604``; SURVEY.md §4 "Checkpoint / resume"); the engine
+checkpoints the *whole* cursor: offsets + watermark + keyed state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class CheckpointStore:
+    def __init__(self, ckpt_dir: str):
+        self.dir = ckpt_dir
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _epoch_dir(self, epoch: int) -> str:
+        return os.path.join(self.dir, f"epoch={epoch:05d}")
+
+    def write(self, epoch: int, meta: dict, state_snaps: dict[str, list]) -> None:
+        """``state_snaps``: name -> list of per-shard snapshot objects."""
+        d = self._epoch_dir(epoch)
+        os.makedirs(d, exist_ok=True)
+        for name, snaps in state_snaps.items():
+            for i, snap in enumerate(snaps):
+                _atomic_write(
+                    os.path.join(d, f"state-{name}-shard-{i}.bin"), pickle.dumps(snap)
+                )
+        meta = {**meta, "epoch": epoch, "state_names": {
+            name: len(snaps) for name, snaps in state_snaps.items()
+        }}
+        _atomic_write(
+            os.path.join(d, "meta.json"),
+            json.dumps(meta, indent=1, sort_keys=True).encode(),
+        )
+
+    def latest(self) -> int | None:
+        best = None
+        if not os.path.isdir(self.dir):
+            return None
+        for name in os.listdir(self.dir):
+            if not name.startswith("epoch="):
+                continue
+            if os.path.exists(os.path.join(self.dir, name, "meta.json")):
+                e = int(name.split("=")[1])
+                best = e if best is None else max(best, e)
+        return best
+
+    def read_meta(self, epoch: int) -> dict:
+        with open(os.path.join(self._epoch_dir(epoch), "meta.json")) as f:
+            return json.load(f)
+
+    def read_state(self, epoch: int, name: str, n_shards: int) -> list:
+        d = self._epoch_dir(epoch)
+        out = []
+        for i in range(n_shards):
+            with open(os.path.join(d, f"state-{name}-shard-{i}.bin"), "rb") as f:
+                out.append(pickle.load(f))
+        return out

@@ -115,6 +115,24 @@ def q_cep_contiguous(sf_dir: str):
     return match_counts(load_token_stream(sf_dir), pat)
 
 
+def q_streaming_windowed(sf_dir: str):
+    """Full streaming path: micro-batch epochs -> window state actors ->
+    watermark close -> exactly-once sink; returns the committed output.
+    No SQL oracle (stateful multi-epoch execution; n_matches needs the
+    leftmost-greedy gapped NFA) — equality vs the batch pipeline is
+    enforced in tests/test_runner.py instead."""
+    import tempfile
+
+    from dataflowkit_ray.runner import StreamingRunner
+    from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+
+    wd = tempfile.mkdtemp(prefix="dfkr_stream_", dir="/tmp")
+    StreamingRunner(
+        [f"{sf_dir}/documents.parquet"], wd, chunks_per_epoch=2, target_rows=512
+    ).run()
+    return ExactlyOnceSink(f"{wd}/out").read_committed()
+
+
 def q_filters_regex(sf_dir: str):
     """Scalar filter chain: regex-extract all s-words, ';'-join, uppercase."""
     import ray.data
@@ -241,4 +259,5 @@ QUERIES = {
     "join_details": q_join_details,
     "cep_contiguous": q_cep_contiguous,
     "filters_regex": q_filters_regex,
+    "streaming_windowed": q_streaming_windowed,
 }

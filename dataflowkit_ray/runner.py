@@ -1,0 +1,261 @@
+"""The streaming epoch loop: micro-batch ingestion -> windowed state ->
+watermark-driven emission -> exactly-once sink -> checkpoint.
+
+Mirrors the reference lifecycle (``Task.Parse``: validate -> workers ->
+pipeline -> encode, ``/root/reference/scrape/scrape.go:210-269``) recast
+per SURVEY.md §3.4: control stays in the driver, data never returns to it
+except (a) pre-aggregated per-epoch window partials (bounded by windows
+touched per epoch, not rows) and (b) sink manifests.
+
+Per epoch:
+
+1. ``source.next_slice`` -> chunk specs (per-partition offsets advance);
+2. one ``map_batches`` pass per epoch computes ALL per-window metric
+   partials (sum/count/details/matches) batch-locally — the detail-embed
+   is batch-local because child chunks derive from their parent row, the
+   same containment the reference's ``divide`` guarantees for blocks in a
+   page (``scrape/scrape.go:447-517``); cross-epoch arrivals go through
+   :class:`~dataflowkit_ray.state.store.JoinStateShard` instead;
+3. partials merge into :class:`WindowStateShard` actors (idempotent per
+   epoch — a replayed epoch merges into the restored pre-epoch state);
+4. watermark advances (min partition frontier); windows strictly below it
+   close and are popped deterministically (sorted) from every shard;
+5. closed windows commit through the exactly-once sink (deterministic
+   part names; replay rewrites, never appends);
+6. checkpoint {offsets, watermark, state snapshots, metrics} — written
+   AFTER the commit, so crash-between leaves a committed epoch that the
+   resumed run simply re-commits byte-identically.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from dataflowkit_ray.checkpoint import CheckpointStore
+from dataflowkit_ray.config import DEFAULT_CONFIG, EngineConfig
+from dataflowkit_ray.pipelines.flagship import _METRICS, default_pattern
+from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+from dataflowkit_ray.sources.microbatch import MicroBatchSource
+from dataflowkit_ray.state.store import (
+    ShardedState,
+    WindowStateShard,
+    bytes_to_table,
+    table_to_bytes,
+)
+
+
+def epoch_partials_fn(window_size: int, pattern, chunk_size: int = 16):
+    """One fused map_batches pass: raw doc rows -> per-(source, window)
+    metric partials (sum_n_tok, n_rows, n_details, n_matches)."""
+    import numpy as np
+
+    from dataflowkit_ray.pipelines.flagship import _conform
+    from dataflowkit_ray.stages.cep import match_pattern_batch
+    from dataflowkit_ray.stages.windows import assign_tumbling
+    from dataflowkit_ray.tokenize import tokenize_documents
+
+    matcher = match_pattern_batch(pattern)
+
+    def fn(raw: pa.Table) -> pa.Table:
+        b = tokenize_documents(raw)
+        b = assign_tumbling(b, window_size)
+
+        g = b.select(["source", "window_id", "n_tok"]).group_by(
+            ["source", "window_id"]
+        ).aggregate([("n_tok", "sum"), ("n_tok", "count")])
+        g = g.rename_columns(["source", "window_id", "s", "c"])
+        win = _conform(g, {"sum_n_tok": "s", "n_rows": "c"})
+
+        # details: chunks of a doc are batch-local -> n_details = ceil(n_tok/16)
+        n_tok = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = np.maximum(1, -(-n_tok // chunk_size))
+        dt = pa.table(
+            {
+                "source": b["source"],
+                "window_id": b["window_id"],
+                "nd": pa.array(nd),
+            }
+        ).group_by(["source", "window_id"]).aggregate([("nd", "sum")])
+        dt = dt.rename_columns(["source", "window_id", "d"])
+        det = _conform(dt, {"n_details": "d"})
+
+        m = assign_tumbling(matcher(b), window_size)
+        gm = m.select(["source", "window_id"]).group_by(
+            ["source", "window_id"]
+        ).aggregate([([], "count_all")])
+        gm = gm.rename_columns(["source", "window_id", "m"])
+        mat = _conform(gm, {"n_matches": "m"})
+
+        return pa.concat_tables([win, det, mat])
+
+    return fn
+
+
+class StreamingRunner:
+    def __init__(
+        self,
+        files: list[str],
+        work_dir: str,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        window_size: int | None = None,
+        n_shards: int | None = None,
+        pattern=None,
+        chunks_per_epoch: int = 2,
+        target_rows: int = 512,
+    ):
+        self.cfg = cfg
+        self.window_size = window_size or cfg.tumbling_size
+        self.n_shards = n_shards or cfg.state_shards
+        self.pattern = pattern or default_pattern()
+        self.source = MicroBatchSource(
+            files,
+            n_partitions=cfg.n_partitions,
+            chunks_per_epoch=chunks_per_epoch,
+            target_rows=target_rows,
+            columns=["doc_id", "text", "source"],
+        )
+        self.sink = ExactlyOnceSink(f"{work_dir}/out")
+        self.ckpt = CheckpointStore(f"{work_dir}/checkpoint")
+
+    def run(self, max_epochs: int | None = None) -> dict:
+        state = ShardedState(WindowStateShard, self.n_shards, list(_METRICS))
+        latest = self.ckpt.latest()
+        finalized = False
+        if latest is not None:
+            meta = self.ckpt.read_meta(latest)
+            offsets = meta["offsets"]
+            epoch = meta["epoch"] + 1
+            finalized = meta.get("final", False)
+            state.restore(self.ckpt.read_state(latest, "windows", self.n_shards))
+        else:
+            offsets = self.source.initial_offsets()
+            epoch = 0
+
+        partial_fn = epoch_partials_fn(self.window_size, self.pattern)
+        ran = 0
+        while not self.source.done(offsets):
+            if max_epochs is not None and ran >= max_epochs:
+                break
+            specs, new_offsets = self.source.next_slice(offsets)
+            ds = self.source.read_epoch(specs)
+            partials = ds.map_batches(partial_fn, batch_format="pyarrow")
+            # bounded driver transfer: pre-aggregated per-window partials
+            ptables = [
+                b for b in partials.iter_batches(batch_format="pyarrow") if len(b)
+            ]
+            if ptables:
+                merged = (
+                    pa.concat_tables(ptables)
+                    .group_by(["source", "window_id"])
+                    .aggregate([(m, "sum") for m in _METRICS])
+                    .rename_columns(["source", "window_id", *list(_METRICS)])
+                )
+                refs = []
+                for shard, sub in zip(
+                    state.shards, state.route(merged, ["source", "window_id"])
+                ):
+                    if sub is not None:
+                        refs.append(shard.merge.remote(epoch, table_to_bytes(sub)))
+                ray.get(refs)
+
+            offsets = new_offsets
+            wm_event = self.source.watermark(offsets)
+            wm_window = wm_event // self.window_size
+            self._commit(epoch, wm_window, offsets, wm_event, state)
+            ran += 1
+            epoch += 1
+
+        if (
+            self.source.done(offsets)
+            and not finalized
+            and (max_epochs is None or ran < max_epochs)
+        ):
+            # final flush: close every remaining window
+            wm_event = self.source.watermark(offsets)
+            self._commit(epoch, 1 << 60, offsets, wm_event, state, final=True)
+            epoch += 1
+
+        shard_stats = ray.get([s.stats.remote() for s in state.shards])
+        return {
+            "epochs": epoch,
+            "watermark": self.source.watermark(offsets),
+            "late_rows": sum(s["late_rows"] for s in shard_stats),
+            "open_windows": sum(s["open_windows"] for s in shard_stats),
+            "committed_epochs": self.sink.committed_epochs(),
+            "rows_out": sum(
+                self.sink.manifest(e)["rows"] for e in self.sink.committed_epochs()
+            ),
+        }
+
+    def _commit(self, epoch, wm_window, offsets, wm_event, state, final=False):
+        import ray.data
+
+        popped = [
+            bytes_to_table(b)
+            for b in ray.get(
+                [s.pop_closed.remote(wm_window) for s in state.shards]
+            )
+        ]
+        rows = pa.concat_tables([t for t in popped if len(t)]) if any(
+            len(t) for t in popped
+        ) else popped[0]
+        ds = ray.data.from_arrow(rows)
+        self.sink.commit_epoch(
+            ds,
+            epoch,
+            extra={
+                "offsets": offsets,
+                "watermark_event": wm_event,
+                "watermark_window": min(wm_window, 1 << 60),
+                "final": final,
+            },
+        )
+        self.ckpt.write(
+            epoch,
+            {"offsets": offsets, "watermark_event": wm_event, "final": final},
+            {"windows": state.snapshot()},
+        )
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI: ``python -m dataflowkit_ray.runner <parquet>... --work-dir D``.
+
+    The one place (besides bench.py and the test fixture) that owns a Ray
+    session; resumable — re-running with the same work dir continues from
+    the last checkpoint.
+    """
+    import argparse
+    import json
+
+    import ray as _ray
+
+    p = argparse.ArgumentParser(description="streaming epoch runner")
+    p.add_argument("files", nargs="+", help="input parquet files (documents schema)")
+    p.add_argument("--work-dir", required=True, help="output + checkpoint root")
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--chunks-per-epoch", type=int, default=2)
+    p.add_argument("--target-rows", type=int, default=512)
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    if not _ray.is_initialized():
+        _ray.init(
+            address="local",
+            include_dashboard=False,
+            **({"num_cpus": args.num_cpus} if args.num_cpus else {}),
+        )
+    try:
+        runner = StreamingRunner(
+            args.files,
+            args.work_dir,
+            chunks_per_epoch=args.chunks_per_epoch,
+            target_rows=args.target_rows,
+        )
+        print(json.dumps(runner.run(max_epochs=args.max_epochs)))
+    finally:
+        _ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

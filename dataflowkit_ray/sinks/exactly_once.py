@@ -1,0 +1,143 @@
+"""Exactly-once Parquet sink: idempotent per-partition parts + manifests.
+
+The reference achieves replay-safety by *idempotent keyed Upsert*: record
+keys are deterministic (``uid-page-block``, ``scrape/scrape.go:604``) and
+Mongo ``Upsert`` overwrites on re-run (``storage/mongo.go:70-72``), so a
+retried payload never duplicates rows.  The engine's file-level analog
+(SURVEY.md §2.8 "Exactly-once"):
+
+* part files are named deterministically ``part-e{epoch}-p{part}.parquet``
+  — a replayed epoch REWRITES the same names, never appends;
+* each write goes to a temp name in the same directory, then atomic
+  ``os.replace`` — readers never see partial files;
+* an epoch is visible only once ``manifest-e{epoch}.json`` exists (also
+  atomically renamed); readers list parts from manifests, never by
+  globbing the directory.
+
+Writes happen inside ``map_groups`` tasks (one per sink partition), so
+the sink streams at full cluster parallelism; only the tiny manifest rows
+return to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class ExactlyOnceSink:
+    def __init__(self, out_dir: str, n_sink_parts: int = 8):
+        self.out_dir = out_dir
+        self.parts_dir = os.path.join(out_dir, "parts")
+        self.manifest_dir = os.path.join(out_dir, "manifests")
+        self.n_sink_parts = n_sink_parts
+        os.makedirs(self.parts_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- write
+
+    def commit_epoch(
+        self, ds, epoch: int, extra: dict | None = None, part_col: str | None = None
+    ) -> dict:
+        """Write one epoch's Dataset and publish its manifest.
+
+        ``part_col``: int column to shard output by (e.g. ``partition_id``);
+        default shards by a deterministic hash of the first key column.
+        Rows land in ``n_sink_parts`` files written in parallel tasks.
+        """
+        from dataflowkit_ray.stages.agg import composite_bucket
+
+        parts_dir, n_parts = self.parts_dir, self.n_sink_parts
+
+        def add_part(t: pa.Table) -> pa.Table:
+            if part_col is not None:
+                import numpy as np
+
+                c = t[part_col]
+                if isinstance(c, pa.ChunkedArray):
+                    c = c.combine_chunks()
+                pid = (
+                    c.to_numpy(zero_copy_only=False).astype(np.int64) % n_parts
+                )
+                arr = pa.array(pid.astype(np.int64))
+            else:
+                arr = pa.array(composite_bucket(t, [t.column_names[0]], n_parts))
+            return t.append_column("_sink_part", arr)
+
+        def write_part(t: pa.Table) -> pa.Table:
+            part = int(t["_sink_part"][0].as_py())
+            t = t.drop_columns(["_sink_part"])
+            name = f"part-e{epoch:05d}-p{part:04d}.parquet"
+            final = os.path.join(parts_dir, name)
+            tmp = final + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, final)
+            return pa.table({"part": [name], "rows": [len(t)]})
+
+        written = (
+            ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_sink_part")
+            .map_groups(write_part, batch_format="pyarrow")
+            .take_all()  # tiny: one row per sink part
+        )
+        manifest = {
+            "epoch": epoch,
+            "parts": sorted(
+                ({"part": r["part"], "rows": int(r["rows"])} for r in written),
+                key=lambda r: r["part"],
+            ),
+            "rows": int(sum(r["rows"] for r in written)),
+            **(extra or {}),
+        }
+        _atomic_write_json(self._manifest_path(epoch), manifest)
+        return manifest
+
+    # -------------------------------------------------------------- read
+
+    def _manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.manifest_dir, f"manifest-e{epoch:05d}.json")
+
+    def committed_epochs(self) -> list[int]:
+        out = []
+        for f in sorted(os.listdir(self.manifest_dir)):
+            if f.startswith("manifest-e") and f.endswith(".json"):
+                out.append(int(f[len("manifest-e") : -len(".json")]))
+        return out
+
+    def manifest(self, epoch: int) -> dict:
+        with open(self._manifest_path(epoch)) as f:
+            return json.load(f)
+
+    def committed_files(self) -> list[str]:
+        files = []
+        for e in self.committed_epochs():
+            for p in self.manifest(e)["parts"]:
+                files.append(os.path.join(self.parts_dir, p["part"]))
+        return files
+
+    def read_committed(self):
+        """Dataset over manifest-listed parts only (never directory globs)."""
+        import ray.data
+
+        files = self.committed_files()
+        if not files:
+            return ray.data.from_items([])
+        return ray.data.read_parquet(files)
+
+    def read_committed_table(self) -> pa.Table:
+        files = self.committed_files()
+        if not files:
+            return pa.table({})
+        return pa.concat_tables([pq.read_table(f) for f in files])

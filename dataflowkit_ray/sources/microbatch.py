@@ -1,0 +1,160 @@
+"""Micro-batch Parquet source with per-partition offset tracking.
+
+The reference's source is a bounded channel of work items consumed by a
+worker pool (``/root/reference/scrape/scrape.go:211-229,306-333``); its
+"offset" is the deterministic record key ``uid-page-block``
+(``scrape/scrape.go:604``).  The engine formalizes this: the input is a
+set of Parquet files, split into **chunks** — ``(file, row_group,
+row_start, n_rows)`` — enumerated once from footer metadata and assigned
+round-robin to ``n_partitions`` logical stream partitions.  A partition's
+offset is the number of chunks it has committed; an epoch reads the next
+``chunks_per_partition`` chunks of every partition.
+
+Everything is derived from (files, spec) — no wall clock, no RNG — so a
+resumed run re-reads byte-identical slices (SURVEY.md §7 "bit-identical
+resume").  Reading happens inside ``map_batches`` over a tiny chunk-spec
+dataset: one task per chunk, each opening only its own row group — the
+pattern scales to any number of files/nodes and never materializes the
+file list's data on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+@dataclass(frozen=True)
+class Chunk:
+    """One read unit: a row slice of one row group of one file."""
+
+    file: str
+    row_group: int
+    row_start: int  # offset within the row group
+    n_rows: int
+    seq: int  # global chunk index (enumeration order)
+    global_row_start: int  # rows before this chunk across all files — the
+    # event-clock frontier base (event_seq is monotone in file row order)
+
+
+def enumerate_chunks(files: list[str], target_rows: int = 4096) -> list[Chunk]:
+    """Split files into deterministic read chunks from footer metadata only."""
+    chunks: list[Chunk] = []
+    seq = 0
+    grs = 0
+    for f in sorted(files):
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            start = 0
+            while start < n:
+                take = min(target_rows, n - start)
+                chunks.append(Chunk(f, rg, start, take, seq, grs))
+                seq += 1
+                start += take
+                grs += take
+    return chunks
+
+
+class MicroBatchSource:
+    """Offset-tracked micro-batch reader.
+
+    ``offsets[p]`` = chunks already consumed by partition ``p``.  Chunks
+    are assigned to partitions round-robin by ``chunk.seq % n_partitions``
+    — data-derived, so replays land on the same partition (the analog of
+    the reference's content-hash UID keying, ``scrape/scrape.go:134-155``).
+    """
+
+    def __init__(
+        self,
+        files: list[str],
+        n_partitions: int = 8,
+        chunks_per_epoch: int = 2,
+        target_rows: int = 4096,
+        columns: list[str] | None = None,
+    ):
+        self.files = sorted(files)
+        self.n_partitions = n_partitions
+        self.chunks_per_epoch = chunks_per_epoch
+        self.columns = columns
+        self.chunks = enumerate_chunks(self.files, target_rows)
+        self.by_partition: list[list[Chunk]] = [[] for _ in range(n_partitions)]
+        for c in self.chunks:
+            self.by_partition[c.seq % n_partitions].append(c)
+
+    def initial_offsets(self) -> list[int]:
+        return [0] * self.n_partitions
+
+    def done(self, offsets: list[int]) -> bool:
+        return all(off >= len(self.by_partition[p]) for p, off in enumerate(offsets))
+
+    def next_slice(self, offsets: list[int]) -> tuple[list[dict], list[int]]:
+        """Chunk specs for the next epoch + the advanced offsets."""
+        specs: list[dict] = []
+        new_offsets = list(offsets)
+        for p in range(self.n_partitions):
+            lo = offsets[p]
+            hi = min(lo + self.chunks_per_epoch, len(self.by_partition[p]))
+            for c in self.by_partition[p][lo:hi]:
+                d = asdict(c)
+                d["partition_id"] = p
+                specs.append(d)
+            new_offsets[p] = hi
+        return specs, new_offsets
+
+    def read_epoch(self, specs: list[dict]):
+        """Chunk specs -> Dataset of raw rows (+ partition_id, chunk_seq).
+
+        One read task per chunk; each task opens only its own row group.
+        """
+        import ray.data
+
+        columns = self.columns
+
+        def read_chunk(batch: pa.Table) -> pa.Table:
+            tables = []
+            for spec in batch.to_pylist():
+                pf = pq.ParquetFile(spec["file"])
+                t = pf.read_row_group(spec["row_group"], columns=columns)
+                t = t.slice(spec["row_start"], spec["n_rows"])
+                n = len(t)
+                t = t.append_column(
+                    "partition_id", pa.array([spec["partition_id"]] * n, pa.int32())
+                )
+                t = t.append_column("chunk_seq", pa.array([spec["seq"]] * n, pa.int64()))
+                tables.append(t)
+            return pa.concat_tables(tables)
+
+        ds = ray.data.from_items(specs)
+        # one block per chunk-spec so read tasks parallelize per chunk
+        ds = ds.repartition(max(1, len(specs)))
+        return ds.map_batches(read_chunk, batch_format="pyarrow")
+
+    def total_rows(self) -> int:
+        return sum(c.n_rows for c in self.chunks)
+
+    def watermark(self, offsets: list[int]) -> int:
+        """Monotonic low-watermark over the doc-order event clock.
+
+        Per-partition frontier = first UNread chunk's ``global_row_start``
+        (every row it will still emit has event_seq >= that); global
+        watermark = min over partitions (SURVEY.md §2.8).  In event-row
+        units: all rows with event_seq < watermark are fully ingested.
+        """
+        end = self.total_rows()
+        frontiers = []
+        for p, off in enumerate(offsets):
+            part = self.by_partition[p]
+            frontiers.append(end if off >= len(part) else part[off].global_row_start)
+        return min(frontiers) if frontiers else 0
+
+    def describe(self) -> dict:
+        return {
+            "files": self.files,
+            "n_partitions": self.n_partitions,
+            "chunks_per_epoch": self.chunks_per_epoch,
+            "n_chunks": len(self.chunks),
+        }

@@ -207,14 +207,17 @@ def match_pattern_batch(pattern: Pattern):
 
 def match_counts(ds, pattern: Pattern, batch_size: int | None = None):
     """Matches per doc: (doc_id, source, event_seq, n_matches) — docs with
-    zero matches are absent (NotError-skip semantics)."""
-    from ray.data.aggregate import Count
+    zero matches are absent (NotError-skip semantics).  Bucket aggregate:
+    doc_id cardinality is the stream size."""
+    from dataflowkit_ray.stages.agg import hash_agg
 
     matches = ds.map_batches(
         match_pattern_batch(pattern), batch_format="pyarrow", batch_size=batch_size
     )
-    return matches.groupby(["doc_id", "source", "event_seq"]).aggregate(
-        Count(alias_name="n_matches")
+    return hash_agg(
+        matches,
+        ("doc_id", "source", "event_seq"),
+        [("match_start", "count", "n_matches")],
     )
 
 

@@ -1,0 +1,135 @@
+"""Streaming runner: exactly-once, checkpoint/resume, watermark semantics.
+
+Modeled on the reference's golden end-to-end tests plus the crash-resume
+strategy SURVEY.md §5 mandates: run to completion, re-run with a mid-
+stream kill + resume, and require row-identical committed output."""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from dataflowkit_ray.runner import StreamingRunner
+from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+from dataflowkit_ray.sources.microbatch import MicroBatchSource
+
+SF = "/root/testdata/sf0.001"
+
+
+def _read_out(work_dir) -> pd.DataFrame:
+    sink = ExactlyOnceSink(f"{work_dir}/out")
+    t = sink.read_committed_table()
+    return (
+        t.to_pandas()
+        .sort_values(["source", "window_id"])
+        .reset_index(drop=True)
+    )
+
+
+def _expected(sf_dir) -> pd.DataFrame:
+    """Brute-force batch oracle for the runner's windowed metrics."""
+    import numpy as np
+
+    from dataflowkit_ray.pipelines.flagship import default_pattern
+    from dataflowkit_ray.stages.cep import match_pattern_batch
+    from dataflowkit_ray.tokenize import tokenize_documents
+
+    raw = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    tok = tokenize_documents(raw)
+    df = tok.to_pandas()
+    df["window_id"] = df.event_seq // 32
+    df["n_details"] = np.maximum(1, -(-df.n_tok // 16))
+    base = df.groupby(["source", "window_id"]).agg(
+        sum_n_tok=("n_tok", "sum"),
+        n_rows=("n_tok", "count"),
+        n_details=("n_details", "sum"),
+    )
+    m = match_pattern_batch(default_pattern())(tok).to_pandas()
+    m["window_id"] = m.event_seq // 32
+    mc = m.groupby(["source", "window_id"]).size().rename("n_matches")
+    out = base.join(mc, how="left").fillna(0).astype("int64").reset_index()
+    return out.sort_values(["source", "window_id"]).reset_index(drop=True)
+
+
+def test_source_offsets_cover_everything():
+    src = MicroBatchSource(
+        [f"{SF}/documents.parquet"], n_partitions=4, chunks_per_epoch=1, target_rows=64
+    )
+    offsets = src.initial_offsets()
+    seen = 0
+    wm_prev = -1
+    while not src.done(offsets):
+        specs, offsets = src.next_slice(offsets)
+        seen += sum(s["n_rows"] for s in specs)
+        wm = src.watermark(offsets)
+        assert wm >= wm_prev  # monotonic
+        wm_prev = wm
+    assert seen == src.total_rows() == 500
+
+
+def test_streaming_equals_batch(ray_session, tmp_path):
+    r = StreamingRunner(
+        [f"{SF}/documents.parquet"],
+        str(tmp_path / "run"),
+        chunks_per_epoch=1,
+        target_rows=64,
+    )
+    summary = r.run()
+    assert summary["late_rows"] == 0
+    assert summary["open_windows"] == 0
+    got = _read_out(tmp_path / "run")
+    exp = _expected(SF)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_crash_resume_row_identical(ray_session, tmp_path):
+    full = StreamingRunner(
+        [f"{SF}/documents.parquet"], str(tmp_path / "full"),
+        chunks_per_epoch=1, target_rows=64,
+    )
+    full.run()
+
+    crashed = StreamingRunner(
+        [f"{SF}/documents.parquet"], str(tmp_path / "crash"),
+        chunks_per_epoch=1, target_rows=64,
+    )
+    crashed.run(max_epochs=2)  # "crash" after 2 epochs
+    mid = ExactlyOnceSink(f"{tmp_path}/crash/out").committed_epochs()
+    assert mid == [0, 1]
+
+    resumed = StreamingRunner(  # fresh runner over the same work_dir
+        [f"{SF}/documents.parquet"], str(tmp_path / "crash"),
+        chunks_per_epoch=1, target_rows=64,
+    )
+    resumed.run()
+
+    a = _read_out(tmp_path / "full")
+    b = _read_out(tmp_path / "crash")
+    pd.testing.assert_frame_equal(a, b)
+    # part files beyond the sink: byte-compare manifest row counts per epoch
+    sa = ExactlyOnceSink(f"{tmp_path}/full/out")
+    sb = ExactlyOnceSink(f"{tmp_path}/crash/out")
+    assert sa.committed_epochs() == sb.committed_epochs()
+    for e in sa.committed_epochs():
+        assert sa.manifest(e)["rows"] == sb.manifest(e)["rows"]
+
+
+def test_replay_epoch_rewrites_not_appends(ray_session, tmp_path):
+    """Re-running a committed epoch (crash between commit and checkpoint)
+    must rewrite the same parts — never duplicate rows."""
+    wd = str(tmp_path / "replay")
+    r1 = StreamingRunner([f"{SF}/documents.parquet"], wd, chunks_per_epoch=1, target_rows=64)
+    r1.run(max_epochs=3)
+    # simulate crash-after-commit-before-checkpoint: delete the LAST checkpoint
+    ck = sorted(glob.glob(f"{wd}/checkpoint/epoch=*"))
+    last = ck[-1]
+    os.remove(os.path.join(last, "meta.json"))
+
+    r2 = StreamingRunner([f"{SF}/documents.parquet"], wd, chunks_per_epoch=1, target_rows=64)
+    r2.run()
+
+    got = _read_out(wd)
+    exp = _expected(SF)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
