@@ -261,3 +261,8 @@ QUERIES = {
     "filters_regex": q_filters_regex,
     "streaming_windowed": q_streaming_windowed,
 }
+
+from dataflowkit_ray.pipelines.training import TRAINING_ORACLES, TRAINING_QUERIES
+
+QUERIES.update(TRAINING_QUERIES)
+ORACLES.update(TRAINING_ORACLES)

@@ -1,0 +1,157 @@
+"""Training-data pipeline queries: dedup family, similarity search, text
+analysis, multimodal plumbing — each with a DuckDB oracle where SQL can
+express the semantics (LSH/stub stages are rows-only, pytest-verified).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from dataflowkit_ray.stages.ann import brute_topk, cosine_dup_pairs, lsh_dup_pairs
+from dataflowkit_ray.stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+from dataflowkit_ray.stages.multimodal import media_pipeline
+from dataflowkit_ray.stages.textstats import TEXT_STATS_SQL, doc_fingerprints, text_stats
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_exact_dedup(sf_dir: str):
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_minhash_dup_pairs(sf_dir: str):
+    """MinHash(64) + 32-band LSH candidates, exact-Jaccard verified >= 0.8.
+
+    Banding is probabilistic recall (miss prob ~(1-J^2)^32 < 1e-14 at the
+    0.8 threshold) — the oracle's exact all-pairs join agrees on any
+    non-adversarial corpus; precision is exact by verification."""
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.8, k=64, bands=32)
+
+
+def q_simhash_pairs(sf_dir: str):
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 for the first 10 vectors (broadcast query
+    matrix, per-batch float64 matmul, partial top-k -> bucket merge)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = np.asarray([v < 10 for v in t["vec_id"].to_pylist()])
+    import pyarrow as pa
+
+    qt = t.filter(pa.array(mask))
+    qv = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qi = np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64)
+    return brute_topk(_emb(sf_dir), qv, qi, k=5)
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    """Near-dup embedding pairs (cosine >= 0.42 — chosen to be non-empty
+    on the synthetic embeddings, whose max off-diagonal cosine is ~0.51)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    return cosine_dup_pairs(_emb(sf_dir), threshold=0.42, all_vecs=vecs, all_ids=ids)
+
+
+def q_lsh_dup_pairs(sf_dir: str):
+    """Scale-path ANN dedup (random-hyperplane LSH buckets; recall < 1 by
+    construction — subset-of-brute-force enforced in tests)."""
+    return lsh_dup_pairs(_emb(sf_dir), threshold=0.42, n_planes=4, n_tables=8)
+
+
+def q_text_stats(sf_dir: str):
+    return text_stats(_docs(sf_dir))
+
+
+def q_doc_fingerprint(sf_dir: str):
+    return doc_fingerprints(_docs(sf_dir))
+
+
+def q_multimodal_meta(sf_dir: str):
+    """Binary-payload plumbing: synth media -> actor-pool decode (stub
+    kernel) -> frame sampling; schema/actor wiring is the tested part."""
+    return media_pipeline(_docs(sf_dir))
+
+
+TRAINING_QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_topk": q_ann_topk,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "lsh_dup_pairs": q_lsh_dup_pairs,
+    "text_stats": q_text_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             generate_series(1, GREATEST(len(str_split(text,' ')) - 2, 0)),
+             i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]
+                  || ' ' || str_split(text,' ')[i+2]
+           )
+         ) AS grams
+  FROM documents
+)
+"""
+
+TRAINING_ORACLES = {
+    "exact_dedup": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "minhash_dup_pairs": f"""
+        WITH {_SHINGLES_CTE}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+    """,
+    "ann_topk": """
+        WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 10
+        ),
+        sims AS (
+          SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+          FROM q CROSS JOIN embeddings e
+          WHERE e.vec_id != q.qid
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM sims
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+    "embedding_dup_pairs": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.42
+    """,
+    "text_stats": TEXT_STATS_SQL,
+}

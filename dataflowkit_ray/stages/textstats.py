@@ -1,0 +1,117 @@
+"""Text-analysis stages: language-ID heuristic, quality scoring, token
+counting, document fingerprinting.
+
+All fully vectorized over Arrow batches; the scoring formulas are chosen
+to be expressible verbatim in ANSI SQL so the DuckDB oracle can replay
+them (check_correctness gate).  The fingerprint is the engine's FNV
+content hash (``tokenize.hash_token_lists``) — the per-row analog of the
+reference's payload UID (``/root/reference/scrape/scrape.go:134-155``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# tiny deterministic "stopword" list over the synthetic vocabulary;
+# a real corpus swaps in a per-language table (broadcast via actor init)
+STOPWORDS: tuple[str, ...] = ("a", "the")
+
+
+def text_stats_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, n_words, n_distinct_words, stopword_ratio, quality_score,
+    lang_pred) per document.
+
+    * stopword_ratio = stopword hits / words (6dp)
+    * quality_score  = distinct words / words (6dp) — repetition penalty
+    * lang_pred      = 'en' when stopword_ratio >= 0.02 else 'unk'
+      (an n-gram-free stand-in for langid with the same plumbing: a
+      broadcast table of per-language marker rates)
+    """
+    text = t["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern(text, pattern=" ")
+    n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    flat = words.flatten()
+    # one dictionary pass feeds both the stopword and the distinct counts
+    d = flat.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    stop_uniq = np.asarray([u in STOPWORDS for u in uniq], dtype=np.int64)
+    stop_np = stop_uniq[idx]
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    stop_counts = np.add.reduceat(
+        np.append(stop_np, 0), offsets[:-1]
+    ) * (n_words > 0)
+
+    # distinct words per row: sort flattened (row_id, word_hash) pairs
+    import zlib
+
+    uh = np.fromiter((zlib.crc32(u.encode()) for u in uniq), count=len(uniq), dtype=np.int64)
+    wh = uh[idx]
+    row_of = np.repeat(np.arange(len(n_words)), n_words)
+    order = np.lexsort((wh, row_of))
+    rw, hh = row_of[order], wh[order]
+    new = np.ones(len(rw), dtype=bool)
+    if len(rw) > 1:
+        new[1:] = (rw[1:] != rw[:-1]) | (hh[1:] != hh[:-1])
+    distinct = np.bincount(rw[new], minlength=len(n_words)).astype(np.int64)
+
+    safe_n = np.maximum(n_words, 1)
+    stop_ratio = np.round(stop_counts / safe_n, 6)
+    quality = np.round(distinct / safe_n, 6)
+    lang = np.where(stop_ratio >= 0.02, "en", "unk")
+
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "n_words": pa.array(n_words),
+            "n_distinct_words": pa.array(distinct),
+            "stopword_ratio": pa.array(stop_ratio),
+            "quality_score": pa.array(quality),
+            "lang_pred": pa.array(lang.tolist(), pa.string()),
+        }
+    )
+
+
+def text_stats(ds):
+    return ds.map_batches(text_stats_batch, batch_format="pyarrow")
+
+
+# the SQL twin of text_stats_batch (single source of truth for the oracle)
+TEXT_STATS_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_distinct_words,
+       round(len(list_filter(str_split(text, ' '), w -> w IN ('a','the')))
+             / GREATEST(len(str_split(text, ' ')), 1)::DOUBLE, 6) AS stopword_ratio,
+       round(len(list_distinct(str_split(text, ' ')))
+             / GREATEST(len(str_split(text, ' ')), 1)::DOUBLE, 6) AS quality_score,
+       CASE WHEN round(len(list_filter(str_split(text, ' '), w -> w IN ('a','the')))
+             / GREATEST(len(str_split(text, ' ')), 1)::DOUBLE, 6) >= 0.02
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents
+"""
+
+
+def fingerprint_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, fingerprint) — FNV-1a over the token array (rolling
+    content hash; exact-dedup / idempotency key)."""
+    from dataflowkit_ray.tokenize import hash_token_lists, tokenize_text
+
+    tokens, _ = tokenize_text(t["text"])
+    h = hash_token_lists(tokens)
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "fingerprint": pa.array(h.astype(np.int64)),
+        }
+    )
+
+
+def doc_fingerprints(ds):
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")

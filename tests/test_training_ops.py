@@ -1,0 +1,166 @@
+"""Dedup family, ANN, text stats, multimodal plumbing — each checked
+against a brute-force single-process reimplementation (golden-invariant
+style, SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dataflowkit_ray.pipelines.training import (
+    q_ann_topk,
+    q_embedding_dup_pairs,
+    q_exact_dedup,
+    q_lsh_dup_pairs,
+    q_minhash_dup_pairs,
+    q_simhash_pairs,
+    q_text_stats,
+)
+from dataflowkit_ray.stages.dedup import shingle_hashes, simhash64
+from dataflowkit_ray.stages.multimodal import MediaDecodeStage, media_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_df():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_exact_dedup_matches_pandas(ray_session):
+    got = q_exact_dedup(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = (
+        _docs_df()
+        .groupby("text")
+        .doc_id.agg(["min", "count"])
+        .rename(columns={"min": "doc_id", "count": "n_copies"})
+        .reset_index(drop=True)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp[["doc_id", "n_copies"]], check_dtype=False)
+    assert got.n_copies.max() >= 1
+
+
+def _brute_jaccard_pairs(threshold=0.8, w=3):
+    df = _docs_df()
+    sh = shingle_hashes(pa.array(df.text.tolist()), w)
+    out = []
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            a, b = sh[i], sh[j]
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            jac = inter / union if union else 1.0
+            if jac >= threshold:
+                out.append((df.doc_id[i], df.doc_id[j], round(jac, 6)))
+    return sorted(out)
+
+
+def test_minhash_pairs_match_brute_force(ray_session):
+    got = q_minhash_dup_pairs(SF).to_pandas()
+    got_t = sorted(zip(got.doc_a, got.doc_b, got.jaccard))
+    assert got_t == _brute_jaccard_pairs()
+    assert len(got_t) > 0  # corpus contains near-dups
+
+
+def test_simhash_recall_is_exact(ray_session):
+    """4-block pigeonhole blocking has recall 1.0 at hamming <= 3 —
+    engine output must EQUAL the all-pairs brute force."""
+    df = _docs_df()
+    sh = shingle_hashes(pa.array(df.text.tolist()), 3)
+    fps = [simhash64(s) for s in sh]
+    exp = []
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            d = bin(fps[i] ^ fps[j]).count("1")
+            if d <= 3:
+                exp.append((df.doc_id[i], df.doc_id[j], d))
+    got = q_simhash_pairs(SF).to_pandas()
+    assert sorted(zip(got.doc_a, got.doc_b, got.hamming)) == sorted(exp)
+
+
+def test_ann_topk_matches_numpy(ray_session):
+    got = q_ann_topk(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for q in range(10):
+        sims = np.round(m[ids == q][0] @ m.T, 6)
+        mask = ids != q
+        order = np.lexsort((ids[mask], -sims[mask]))[:5]
+        exp_n = ids[mask][order].tolist()
+        got_q = got[got.query_id == q].sort_values("rank")
+        assert got_q.neighbor_id.tolist() == exp_n
+
+
+def test_lsh_pairs_subset_of_brute(ray_session):
+    brute = q_embedding_dup_pairs(SF).to_pandas()
+    lsh = q_lsh_dup_pairs(SF).to_pandas()
+    bs = set(zip(brute.doc_a, brute.doc_b))
+    ls = set(zip(lsh.doc_a, lsh.doc_b)) if len(lsh) else set()
+    assert ls <= bs  # precision exact (verified cosine)
+    assert len(ls) >= 0.5 * len(bs)  # sane recall on this corpus
+
+
+def test_text_stats_matches_pandas(ray_session):
+    got = (
+        q_text_stats(SF)
+        .to_pandas()
+        .astype({"doc_id": int})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = _docs_df()
+    words = df.text.str.split(" ")
+    exp = pd.DataFrame(
+        {
+            "doc_id": df.doc_id,
+            "n_words": words.str.len(),
+            "n_distinct_words": words.apply(lambda w: len(set(w))),
+        }
+    )
+    exp["stopword_ratio"] = words.apply(
+        lambda w: round(sum(x in ("a", "the") for x in w) / max(len(w), 1), 6)
+    )
+    exp["quality_score"] = (
+        exp.n_distinct_words / exp.n_words.clip(lower=1)
+    ).round(6)
+    exp["lang_pred"] = np.where(exp.stopword_ratio >= 0.02, "en", "unk")
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+
+
+def test_multimodal_pipeline_deterministic(ray_session):
+    a = media_pipeline_df()
+    b = media_pipeline_df()
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.columns) == {"media_id", "frame_idx"}
+    assert len(a) >= 500  # at least one frame per doc
+
+
+def media_pipeline_df():
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        media_pipeline(ds)
+        .to_pandas()
+        .astype({"media_id": int})
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_decode_stub_rejects_unknown_type():
+    stage = MediaDecodeStage()
+    bad = pa.table(
+        {
+            "media_id": ["x"],
+            "payload": pa.array([b"zz"], pa.binary()),
+            "media_type": ["hologram"],
+            "n_bytes": pa.array([2], pa.int64()),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        stage(bad)
