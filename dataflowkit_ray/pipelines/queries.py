@@ -107,6 +107,49 @@ def q_join_details(sf_dir: str):
     return join_details(ds, child, num_partitions=CFG.join_num_partitions)
 
 
+def q_join_details_nested(sf_dir: str):
+    """The reference's embed rule verbatim: child rows folded into a
+    ``details: list<struct>`` column ordered by chunk_idx (1 child ->
+    one-element list; N -> list), ``encoders.go:207-241,233-239``.
+
+    For the oracle compare the struct column is projected to a
+    deterministic string digest ("idx:ntok;..." in chunk order) — the
+    driver's sort-columns-then-hash compare can't order dict cells; the
+    struct itself is asserted in tests/test_join.py."""
+    ds = load_token_stream(sf_dir)
+    child = ds.map_batches(explode_chunks(16), batch_format="pyarrow")
+    nested = join_details(ds, child, with_struct=True)
+
+    def digest(t: pa.Table) -> pa.Table:
+        det = t["details"]
+        if isinstance(det, pa.ChunkedArray):
+            det = det.combine_chunks()
+        reprs = [
+            ";".join(f"{d['chunk_idx']}:{d['chunk_n_tok']}" for d in row)
+            for row in det.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": t["n_tok"],
+                "source": t["source"],
+                "event_seq": t["event_seq"],
+                "n_details": t["n_details"],
+                "details_repr": pa.array(reprs, pa.string()),
+            }
+        )
+
+    return nested.map_batches(digest, batch_format="pyarrow")
+
+
+def q_semi_route(sf_dir: str):
+    """IsPath-mode routing (J2): intermediate hops emit only the key
+    stream for the next stage (``scrape/scrape.go:538-545``)."""
+    from dataflowkit_ray.stages.join import semi_join_route
+
+    return semi_join_route(load_token_stream(sf_dir), key_col="doc_id")
+
+
 def q_cep_contiguous(sf_dir: str):
     """Count of contiguous 'batch batch' token bigrams per doc
     (overlapping scan) — the SQL-expressible CEP case."""
@@ -228,6 +271,31 @@ ORACLES: dict[str, str] = {
         SELECT t.doc_id, t.n_tok, t.source, t.event_seq, e.n_details, e.sum_detail_tok
         FROM tok t JOIN emb e USING (doc_id)
     """,
+    "join_details_nested": f"""
+        WITH {TOKEN_CTE},
+        chunks AS (
+          SELECT doc_id,
+                 unnest(generate_series(0,
+                    GREATEST(0, CAST(ceil(n_tok / 16.0) AS BIGINT) - 1))) AS chunk_idx,
+                 n_tok
+          FROM tok
+        ),
+        child AS (
+          SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                 CAST(LEAST(16, n_tok - chunk_idx * 16) AS INTEGER) AS chunk_n_tok
+          FROM chunks
+        ),
+        emb AS (
+          SELECT doc_id, COUNT(*) AS n_details,
+                 array_to_string(
+                   list(chunk_idx || ':' || chunk_n_tok ORDER BY chunk_idx), ';'
+                 ) AS details_repr
+          FROM child GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_tok, t.source, t.event_seq, e.n_details, e.details_repr
+        FROM tok t JOIN emb e USING (doc_id)
+    """,
+    "semi_route": f"WITH {TOKEN_CTE} SELECT doc_id FROM tok",
     "cep_contiguous": f"""
         WITH {TOKEN_CTE},
         pos AS (
@@ -257,6 +325,8 @@ QUERIES = {
     "topk_sources": q_topk_sources,
     "session_events": q_session_events,
     "join_details": q_join_details,
+    "join_details_nested": q_join_details_nested,
+    "semi_route": q_semi_route,
     "cep_contiguous": q_cep_contiguous,
     "filters_regex": q_filters_regex,
     "streaming_windowed": q_streaming_windowed,

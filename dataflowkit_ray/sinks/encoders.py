@@ -1,0 +1,122 @@
+"""Secondary sinks: CSV / JSON / JSON-Lines (+ optional gzip), Parquet.
+
+The reference's encode stage (``/root/reference/scrape/encoders.go``)
+serializes accumulated rows to csv/json/jsonl/xml/xlsx with an optional
+gzip wrapper (``newEncodeWriter``, ``encoders.go:39-61``).  The engine's
+canonical sink is exactly-once Parquet (``sinks/exactly_once.py``); these
+encoders cover the interchange formats.  XML/XLSX are intentionally not
+ported (no consumer in the target payload, SURVEY.md §2.1 S10-S11).
+
+Each format writes distributed (one file per sink partition, tasks in
+parallel); gzip compresses inside the task.  List columns are ';'-joined
+for CSV exactly like the reference's cell formatter
+(``encoders.go:265-302,384-394``).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.csv as pacsv
+
+
+def _csv_coerce(t: pa.Table) -> pa.Table:
+    """Reference CSV cell rules: lists -> ';'-joined strings
+    (``encoders.go:265-302``)."""
+    cols = {}
+    for name, col in zip(t.column_names, t.columns):
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            as_str = pc.cast(col, pa.list_(pa.string()))
+            cols[name] = pc.binary_join(as_str, ";")
+        else:
+            cols[name] = col
+    return pa.table(cols)
+
+
+def _write_partition(t: pa.Table, path: str, fmt: str, compression: str | None) -> None:
+    buf = io.BytesIO()
+    if fmt == "csv":
+        pacsv.write_csv(_csv_coerce(t), buf)
+    elif fmt == "json":
+        import json
+
+        buf.write(json.dumps(t.to_pylist()).encode())
+    elif fmt == "jsonl":
+        import json
+
+        for row in t.to_pylist():
+            buf.write(json.dumps(row).encode())
+            buf.write(b"\n")
+    else:
+        raise ValueError(f"bad encoder format {fmt!r}")
+    data = buf.getvalue()
+    if compression == "gz":
+        data = gzip.compress(data, mtime=0)  # mtime=0: bit-identical re-runs
+        path += ".gz"
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def write_sink(ds, sink) -> int:
+    """Write a Dataset through a SinkSpec; returns row count written."""
+    if sink.format == "parquet":
+        if sink.exactly_once:
+            from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+
+            return ExactlyOnceSink(sink.path).commit_epoch(ds, 0)["rows"]
+        ds.write_parquet(sink.path)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.read_metadata(f).num_rows for f in glob.glob(f"{sink.path}/*.parquet")
+        )
+
+    os.makedirs(sink.path, exist_ok=True)
+    fmt, compression, out_dir = sink.format, sink.compression, sink.path
+    ext = {"csv": "csv", "json": "json", "jsonl": "jsonl"}[fmt]
+
+    from dataflowkit_ray.stages.agg import composite_bucket
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_sink_part", pa.array(composite_bucket(t, [t.column_names[0]], 8))
+        )
+
+    def write_part(t: pa.Table) -> pa.Table:
+        part = int(t["_sink_part"][0].as_py())
+        t = t.drop_columns(["_sink_part"])
+        _write_partition(t, os.path.join(out_dir, f"part-{part:04d}.{ext}"), fmt, compression)
+        return pa.table({"rows": [len(t)]})
+
+    written = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_sink_part")
+        .map_groups(write_part, batch_format="pyarrow")
+        .take_all()
+    )
+    return int(sum(r["rows"] for r in written))
+
+
+def read_source(paths: list[str], format: str = "parquet", columns=None):
+    """One facade over the input codecs (the Fetcher-type switch,
+    ``/root/reference/fetch/fetcher.go:97-107``)."""
+    import ray.data
+
+    if format == "parquet":
+        return ray.data.read_parquet(paths, columns=columns)
+    if format == "csv":
+        ds = ray.data.read_csv(paths)
+    elif format == "json":
+        ds = ray.data.read_json(paths)
+    else:
+        raise ValueError(f"bad source format {format!r}")
+    return ds.select_columns(columns) if columns else ds

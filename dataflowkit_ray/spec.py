@@ -1,0 +1,303 @@
+"""Declarative pipeline specs — the engine's user API.
+
+The reference's whole user surface is one JSON ``Payload``
+(``/root/reference/scrape/structure.go:31-76``): a collection name, a
+request, extraction fields with filter chains, an output format, and a
+paginator.  ``checkPayload`` validates it up front and rejects the job
+before any work starts (``scrape/scrape.go:187-207``).
+
+The engine mirrors that: :class:`PipelineSpec` is a plain dataclass tree
+(JSON round-trippable), validated eagerly by :func:`validate_spec`, and
+compiled to a ``ray.data`` pipeline by :func:`build_pipeline`.  The
+recursive ``Field.Details`` of the reference maps to the ``join`` branch;
+``Paginator`` maps to the window spec (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+from dataflowkit_ray.stages.scalars import FILTERS
+
+
+class SpecError(ValueError):
+    """Invalid pipeline spec (the checkPayload analog)."""
+
+
+@dataclass
+class SourceSpec:
+    paths: list[str]
+    format: str = "parquet"  # parquet | csv | json
+    columns: list[str] | None = None
+    tokenize: bool = True  # documents schema -> token stream
+
+
+@dataclass
+class FilterSpec:
+    column: str
+    chain: list[tuple[str, str | None]]
+    out: str | None = None
+
+
+@dataclass
+class WindowSpec:
+    kind: str = "tumbling"  # tumbling | sliding | session
+    size: int = 32
+    slide: int | None = None  # sliding only
+    gap: int | None = None  # session only
+    key: str = "source"
+    clock: str = "event_seq"
+
+
+@dataclass
+class AggSpec:
+    column: str
+    fn: str  # sum | count | min | max
+    out: str
+
+
+@dataclass
+class StepSpec:
+    literal: int | None = None
+    any_of: list[int] | None = None
+    residue: tuple[int, int] | None = None
+    max_gap: int = 0
+
+
+@dataclass
+class PatternSpec:
+    steps: list[StepSpec]
+    mode: str = "nonoverlapping"
+
+
+@dataclass
+class JoinSpec:
+    chunk_size: int = 16
+    num_partitions: int = 16
+    with_struct: bool = False
+
+
+@dataclass
+class SinkSpec:
+    path: str
+    format: str = "parquet"  # parquet | csv | json | jsonl
+    compression: str | None = None  # None | "gz" (csv/json*)
+    exactly_once: bool = False  # parquet only: manifest-committed parts
+
+
+@dataclass
+class PipelineSpec:
+    name: str
+    source: SourceSpec
+    filters: list[FilterSpec] = field(default_factory=list)
+    window: WindowSpec | None = None
+    aggregates: list[AggSpec] = field(default_factory=list)
+    pattern: PatternSpec | None = None
+    join: JoinSpec | None = None
+    sink: SinkSpec | None = None
+
+    # ------------------------------------------------------- serialization
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "PipelineSpec":
+        d = json.loads(s)
+        return PipelineSpec(
+            name=d["name"],
+            source=SourceSpec(**d["source"]),
+            filters=[
+                FilterSpec(
+                    column=f["column"],
+                    chain=[tuple(c) for c in f["chain"]],
+                    out=f.get("out"),
+                )
+                for f in d.get("filters", [])
+            ],
+            window=WindowSpec(**d["window"]) if d.get("window") else None,
+            aggregates=[AggSpec(**a) for a in d.get("aggregates", [])],
+            pattern=(
+                PatternSpec(
+                    steps=[StepSpec(**{**s, "residue": tuple(s["residue"]) if s.get("residue") else None}) for s in d["pattern"]["steps"]],
+                    mode=d["pattern"].get("mode", "nonoverlapping"),
+                )
+                if d.get("pattern")
+                else None
+            ),
+            join=JoinSpec(**d["join"]) if d.get("join") else None,
+            sink=SinkSpec(**d["sink"]) if d.get("sink") else None,
+        )
+
+
+_SOURCE_FORMATS = ("parquet", "csv", "json")
+_SINK_FORMATS = ("parquet", "csv", "json", "jsonl")
+_WINDOW_KINDS = ("tumbling", "sliding", "session")
+_AGG_FNS = ("sum", "count", "min", "max")
+
+
+def validate_spec(spec: PipelineSpec) -> None:
+    """Eager validation — mirrors ``checkPayload``'s error taxonomy
+    (empty name / no fields / bad selector / unsupported format,
+    ``scrape/scrape.go:187-207``)."""
+    if not spec.name:
+        raise SpecError("empty pipeline name")
+    if not spec.source.paths:
+        raise SpecError("source needs >= 1 path")
+    if spec.source.format not in _SOURCE_FORMATS:
+        raise SpecError(
+            f"unsupported source format {spec.source.format!r}; one of {_SOURCE_FORMATS}"
+        )
+    for f in spec.filters:
+        if not f.chain:
+            raise SpecError(f"filter on {f.column!r} has an empty chain")
+        for name, _ in f.chain:
+            if name not in FILTERS:
+                raise SpecError(f"unknown filter {name!r}; known: {sorted(FILTERS)}")
+    if spec.window:
+        w = spec.window
+        if w.kind not in _WINDOW_KINDS:
+            raise SpecError(f"unknown window kind {w.kind!r}; one of {_WINDOW_KINDS}")
+        if w.size <= 0:
+            raise SpecError("window size must be > 0")
+        if w.kind == "sliding" and not w.slide:
+            raise SpecError("sliding window needs slide")
+        if w.kind == "session" and not w.gap:
+            raise SpecError("session window needs gap")
+    if spec.aggregates and not spec.window:
+        raise SpecError("aggregates need a window")
+    for a in spec.aggregates:
+        if a.fn not in _AGG_FNS:
+            raise SpecError(f"unknown aggregate fn {a.fn!r}; one of {_AGG_FNS}")
+    if spec.pattern:
+        if not spec.pattern.steps:
+            raise SpecError("pattern needs >= 1 step")
+        if spec.pattern.mode not in ("overlapping", "nonoverlapping"):
+            raise SpecError(f"bad pattern mode {spec.pattern.mode!r}")
+        for s in spec.pattern.steps:
+            set_kinds = sum(x is not None for x in (s.literal, s.any_of, s.residue))
+            if set_kinds != 1:
+                raise SpecError("each step sets exactly one of literal/any_of/residue")
+    if spec.sink and spec.sink.format not in _SINK_FORMATS:
+        raise SpecError(
+            f"unsupported sink format {spec.sink.format!r}; one of {_SINK_FORMATS}"
+        )
+    if spec.sink and spec.sink.exactly_once and spec.sink.format != "parquet":
+        raise SpecError("exactly_once sink requires parquet")
+    if spec.sink and spec.sink.compression not in (None, "gz"):
+        raise SpecError(f"unsupported compression {spec.sink.compression!r}")
+
+
+def build_pipeline(spec: PipelineSpec):
+    """Compile a validated spec to a lazy ``ray.data`` pipeline.
+
+    Returns the final Dataset; if ``spec.sink`` is set the caller runs
+    :func:`run_pipeline` to execute + write instead."""
+    import ray.data
+
+    from dataflowkit_ray.stages.cep import Pattern, Step, match_pattern_batch
+    from dataflowkit_ray.stages.scalars import filters_stage
+    from dataflowkit_ray.stages.windows import (
+        assign_sessions,
+        assign_sliding,
+        assign_tumbling,
+    )
+    from dataflowkit_ray.tokenize import tokenize_documents
+
+    validate_spec(spec)
+
+    src = spec.source
+    if src.format == "parquet":
+        ds = ray.data.read_parquet(src.paths, columns=src.columns)
+    elif src.format == "csv":
+        ds = ray.data.read_csv(src.paths)
+    else:
+        ds = ray.data.read_json(src.paths)
+    if src.columns and src.format != "parquet":
+        ds = ds.select_columns(src.columns)
+
+    if src.tokenize:
+        ds = ds.map_batches(tokenize_documents, batch_format="pyarrow")
+
+    for f in spec.filters:
+        ds = ds.map_batches(
+            filters_stage(f.column, list(f.chain), f.out), batch_format="pyarrow"
+        )
+
+    if spec.pattern:
+        pat = Pattern(
+            steps=tuple(
+                Step(
+                    literal=s.literal,
+                    any_of=tuple(s.any_of) if s.any_of else None,
+                    residue=tuple(s.residue) if s.residue else None,
+                    max_gap=s.max_gap,
+                )
+                for s in spec.pattern.steps
+            ),
+            mode=spec.pattern.mode,
+        )
+        ds = ds.map_batches(match_pattern_batch(pat), batch_format="pyarrow")
+
+    if spec.join:
+        from dataflowkit_ray.stages.join import explode_chunks, join_details
+
+        child = ds.map_batches(
+            explode_chunks(spec.join.chunk_size), batch_format="pyarrow"
+        )
+        ds = join_details(
+            ds,
+            child,
+            num_partitions=spec.join.num_partitions,
+            with_struct=spec.join.with_struct,
+        )
+
+    if spec.window:
+        w = spec.window
+        if w.kind == "tumbling":
+            ds = ds.map_batches(
+                lambda b, size=w.size, c=w.clock: assign_tumbling(b, size, c),
+                batch_format="pyarrow",
+            )
+        elif w.kind == "sliding":
+            ds = ds.map_batches(
+                lambda b, size=w.size, sl=w.slide, c=w.clock: assign_sliding(
+                    b, size, sl, c
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            ds = assign_sessions(ds, gap=w.gap, key_col=w.key, clock_col=w.clock)
+
+    if spec.aggregates:
+        from dataflowkit_ray.stages.agg import hash_agg
+
+        w = spec.window
+        wcol = "session_id" if w.kind == "session" else "window_id"
+        ds = hash_agg(
+            ds,
+            (w.key, wcol),
+            [(a.column, a.fn, a.out) for a in spec.aggregates],
+        )
+    return ds
+
+
+def run_pipeline(spec: PipelineSpec):
+    """Execute a spec end-to-end, writing through its sink.  Returns a
+    summary dict (the reference returns {Task ID, Requests, Took...},
+    ``scrape/scrape.go:257-263``)."""
+    import time
+
+    from dataflowkit_ray.sinks.encoders import write_sink
+
+    t0 = time.perf_counter()
+    ds = build_pipeline(spec)
+    rows = write_sink(ds, spec.sink)
+    return {
+        "pipeline": spec.name,
+        "rows": rows,
+        "sink": spec.sink.path,
+        "format": spec.sink.format,
+        "took_sec": round(time.perf_counter() - t0, 3),
+    }

@@ -97,3 +97,33 @@ def filters_stage(column: str, filters: list[tuple[str, str | None]], out_column
         return apply_filters(batch, column, filters, out_column)
 
     return fn
+
+
+# ---------------------------------------------------- array/list helpers
+# (reference: intArrayToString / floatArrayToString ';'-join,
+#  /root/reference/scrape/encoders.go:384-394; ArrayContains,
+#  /root/reference/utils/utils.go:69-76)
+
+
+def f_array_join(arr: pa.Array | pa.ChunkedArray, sep: str = ";") -> pa.Array:
+    """list<any> -> sep-joined string per row (vectorized)."""
+    a = _combine(arr)
+    return pc.binary_join(pc.cast(a, pa.list_(pa.string())), sep)
+
+
+def f_array_contains(arr: pa.Array | pa.ChunkedArray, value) -> pa.Array:
+    """list<any> CONTAINS value -> bool per row.
+
+    Membership over the flattened values + per-row any() via min/max of
+    segment sums — all Arrow/numpy, no row loop."""
+    import numpy as np
+
+    a = _combine(arr)
+    flat = a.flatten()
+    hit = pc.equal(flat, value)
+    hits = hit.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = a.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    lengths = np.diff(offsets)
+    seg = np.add.reduceat(np.append(hits, 0), offsets[:-1]) * (lengths > 0)
+    return pa.array(seg > 0)

@@ -1,0 +1,151 @@
+"""PipelineSpec validation + spec-driven execution + secondary encoders.
+
+Validation-error cases mirror the reference's payload validation tests
+(``/root/reference/scrape/scrape_test.go:471-537``)."""
+
+import csv
+import glob
+import gzip
+import json
+
+import pyarrow as pa
+import pytest
+
+from dataflowkit_ray.spec import (
+    AggSpec,
+    FilterSpec,
+    PatternSpec,
+    PipelineSpec,
+    SinkSpec,
+    SourceSpec,
+    SpecError,
+    StepSpec,
+    WindowSpec,
+    build_pipeline,
+    run_pipeline,
+    validate_spec,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _base(**kw):
+    d = dict(
+        name="t",
+        source=SourceSpec(paths=[f"{SF}/documents.parquet"], columns=["doc_id", "text", "source"]),
+    )
+    d.update(kw)
+    return PipelineSpec(**d)
+
+
+def test_validation_errors():
+    with pytest.raises(SpecError, match="empty pipeline name"):
+        validate_spec(_base(name=""))
+    with pytest.raises(SpecError, match="source needs"):
+        validate_spec(_base(source=SourceSpec(paths=[])))
+    with pytest.raises(SpecError, match="unsupported source format"):
+        validate_spec(_base(source=SourceSpec(paths=["x"], format="xlsx")))
+    with pytest.raises(SpecError, match="unknown filter"):
+        validate_spec(_base(filters=[FilterSpec("text", [("sparkle", None)])]))
+    with pytest.raises(SpecError, match="sliding window needs slide"):
+        validate_spec(_base(window=WindowSpec(kind="sliding", size=8)))
+    with pytest.raises(SpecError, match="aggregates need a window"):
+        validate_spec(_base(aggregates=[AggSpec("n_tok", "sum", "s")]))
+    with pytest.raises(SpecError, match="unknown aggregate fn"):
+        validate_spec(
+            _base(
+                window=WindowSpec(),
+                aggregates=[AggSpec("n_tok", "median", "m")],
+            )
+        )
+    with pytest.raises(SpecError, match="exactly one of"):
+        validate_spec(
+            _base(pattern=PatternSpec(steps=[StepSpec(literal=1, any_of=[2])]))
+        )
+    with pytest.raises(SpecError, match="exactly_once sink requires parquet"):
+        validate_spec(
+            _base(sink=SinkSpec(path="/tmp/x", format="csv", exactly_once=True))
+        )
+
+
+def test_spec_json_roundtrip():
+    spec = _base(
+        window=WindowSpec(kind="sliding", size=64, slide=32),
+        aggregates=[AggSpec("n_tok", "sum", "sum_n_tok")],
+        pattern=PatternSpec(steps=[StepSpec(literal=7), StepSpec(residue=(3, 1), max_gap=2)]),
+        filters=[FilterSpec("doc_id", [("uppercase", None)], out="doc_uc")],
+    )
+    again = PipelineSpec.from_json(spec.to_json())
+    assert again == spec
+
+
+def test_spec_driven_equals_handwritten(ray_session):
+    """A spec-compiled tumbling aggregate == the hand-built query."""
+    from dataflowkit_ray.pipelines.queries import QUERIES
+
+    spec = _base(
+        window=WindowSpec(kind="tumbling", size=32),
+        aggregates=[
+            AggSpec("n_tok", "sum", "sum_n_tok"),
+            AggSpec("n_tok", "count", "n_rows"),
+        ],
+    )
+    got = (
+        build_pipeline(spec)
+        .to_pandas()
+        .sort_values(["source", "window_id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        QUERIES["tumbling_agg"](SF)
+        .to_pandas()
+        .sort_values(["source", "window_id"])
+        .reset_index(drop=True)
+    )
+    assert got[exp.columns.tolist()].equals(exp)
+
+
+def test_run_pipeline_csv_gz_sink(ray_session, tmp_path):
+    out = tmp_path / "csv_out"
+    spec = _base(
+        window=WindowSpec(kind="tumbling", size=32),
+        aggregates=[AggSpec("n_tok", "sum", "sum_n_tok")],
+        sink=SinkSpec(path=str(out), format="csv", compression="gz"),
+    )
+    summary = run_pipeline(spec)
+    assert summary["rows"] == 320
+    files = sorted(glob.glob(f"{out}/*.csv.gz"))
+    assert files
+    rows = []
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            rows.extend(list(csv.DictReader(fh)))
+    assert len(rows) == 320
+    assert {"source", "window_id", "sum_n_tok"} <= set(rows[0])
+
+
+def test_run_pipeline_jsonl_sink(ray_session, tmp_path):
+    out = tmp_path / "jl"
+    spec = _base(sink=SinkSpec(path=str(out), format="jsonl"))
+    summary = run_pipeline(spec)
+    assert summary["rows"] == 500
+    rows = []
+    for f in glob.glob(f"{out}/*.jsonl"):
+        rows.extend(json.loads(l) for l in open(f))
+    assert len(rows) == 500
+    assert {"doc_id", "tokens", "n_tok", "source", "event_seq"} <= set(rows[0])
+
+
+def test_run_pipeline_exactly_once_parquet(ray_session, tmp_path):
+    out = tmp_path / "eo"
+    spec = _base(
+        window=WindowSpec(kind="tumbling", size=32),
+        aggregates=[AggSpec("n_tok", "sum", "sum_n_tok")],
+        sink=SinkSpec(path=str(out), format="parquet", exactly_once=True),
+    )
+    s1 = run_pipeline(spec)
+    s2 = run_pipeline(spec)  # re-run: rewrites, never appends
+    assert s1["rows"] == s2["rows"] == 320
+    from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+
+    assert len(ExactlyOnceSink(str(out)).read_committed_table()) == 320
