@@ -1,0 +1,233 @@
+"""Event-stream runner: session windows + cross-batch CEP over a keyed
+event stream, exactly-once, checkpointed.
+
+Drives the two state interactions the document runner doesn't:
+sessions that SPAN epochs (gap-merge with watermark timeout) and NFA
+partial matches that survive micro-batch boundaries — the engine analogs
+of the reference's pagination-chain sessions (``scrape/scrape.go:378-445``)
+and multi-page selector chains (``scrape_test.go:199-279``).
+
+Stream shape: events table ``(event_id, ts, user_id, event_type, ...)``
+sorted by ``ts`` — clock = epoch-micros, key = ``user_id``, CEP token =
+a small event-type id.  Per-epoch event tuples are pre-projected in
+``map_batches`` and routed to hash shards; the driver moves only those
+bounded projections, never payload columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from dataflowkit_ray.checkpoint import CheckpointStore
+from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+from dataflowkit_ray.sources.microbatch import MicroBatchSource
+from dataflowkit_ray.state.session_store import CEPStateShard, SessionStateShard
+from dataflowkit_ray.state.store import bytes_to_table, table_to_bytes
+
+EVENT_TOKENS = {"view": 1, "click": 2, "signup": 3, "purchase": 4, "error": 5}
+
+# default stream pattern: signup then purchase with up to 3 other events
+# between (a funnel query) — nonoverlapping, leftmost-greedy
+DEFAULT_EVENT_PATTERN = (
+    [{"literal": EVENT_TOKENS["signup"]}, {"literal": EVENT_TOKENS["purchase"], "max_gap": 3}],
+    "nonoverlapping",
+)
+
+
+def project_events(t: pa.Table) -> pa.Table:
+    """events batch -> (key, clock, token)."""
+    et = t["event_type"]
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    d = et.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    lut = np.asarray([EVENT_TOKENS.get(u, 0) for u in uniq], dtype=np.int64)
+    tok = lut[d.indices.to_numpy(zero_copy_only=False)]
+    return pa.table(
+        {
+            "key": pc.cast(t["user_id"], pa.int64()),
+            "clock": pc.cast(t["ts"], pa.int64()),
+            "token": pa.array(tok),
+        }
+    )
+
+
+class EventStreamRunner:
+    def __init__(
+        self,
+        files: list[str],
+        work_dir: str,
+        gap: int = 30 * 60 * 1_000_000,  # 30 min in micros
+        n_shards: int = 4,
+        pattern=None,
+        n_partitions: int = 4,
+        chunks_per_epoch: int = 1,
+        target_rows: int = 128,
+    ):
+        self.gap = gap
+        self.n_shards = n_shards
+        self.pattern_steps, self.pattern_mode = pattern or DEFAULT_EVENT_PATTERN
+        self.source = MicroBatchSource(
+            files,
+            n_partitions=n_partitions,
+            chunks_per_epoch=chunks_per_epoch,
+            target_rows=target_rows,
+            columns=["ts", "user_id", "event_type"],
+            clock_column="ts",
+        )
+        self.session_sink = ExactlyOnceSink(f"{work_dir}/sessions", n_sink_parts=4)
+        self.match_sink = ExactlyOnceSink(f"{work_dir}/matches", n_sink_parts=4)
+        self.ckpt = CheckpointStore(f"{work_dir}/checkpoint")
+
+    def _route(self, t: pa.Table) -> list[pa.Table | None]:
+        from dataflowkit_ray.tokenize import fnv1a64_numpy
+
+        if len(t) == 0:
+            return [None] * self.n_shards
+        keys = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = (fnv1a64_numpy(keys) % np.uint64(self.n_shards)).astype(np.int64)
+        return [
+            t.filter(pa.array(sh == i)) if (sh == i).any() else None
+            for i in range(self.n_shards)
+        ]
+
+    def run(self, max_epochs: int | None = None) -> dict:
+        sessions = [SessionStateShard.remote(self.gap) for _ in range(self.n_shards)]
+        ceps = [
+            CEPStateShard.remote(self.pattern_steps, self.pattern_mode)
+            for _ in range(self.n_shards)
+        ]
+        latest = self.ckpt.latest()
+        finalized = False
+        if latest is not None:
+            meta = self.ckpt.read_meta(latest)
+            offsets = meta["offsets"]
+            epoch = meta["epoch"] + 1
+            finalized = meta.get("final", False)
+            ray.get(
+                [
+                    s.restore.remote(sn)
+                    for s, sn in zip(
+                        sessions, self.ckpt.read_state(latest, "sessions", self.n_shards)
+                    )
+                ]
+                + [
+                    c.restore.remote(sn)
+                    for c, sn in zip(
+                        ceps, self.ckpt.read_state(latest, "cep", self.n_shards)
+                    )
+                ]
+            )
+        else:
+            offsets = self.source.initial_offsets()
+            epoch = 0
+
+        ran = 0
+        while not self.source.done(offsets):
+            if max_epochs is not None and ran >= max_epochs:
+                break
+            specs, new_offsets = self.source.next_slice(offsets)
+            ds = self.source.read_epoch(specs).map_batches(
+                project_events, batch_format="pyarrow"
+            )
+            parts = [b for b in ds.iter_batches(batch_format="pyarrow") if len(b)]
+            epoch_t = (
+                pa.concat_tables(parts)
+                if parts
+                else pa.table(
+                    {
+                        "key": pa.array([], pa.int64()),
+                        "clock": pa.array([], pa.int64()),
+                        "token": pa.array([], pa.int64()),
+                    }
+                )
+            )
+            routed = self._route(epoch_t)
+            merge_refs, feed_refs = [], []
+            for shard_s, shard_c, sub in zip(sessions, ceps, routed):
+                if sub is None:
+                    continue
+                blob = table_to_bytes(sub)
+                merge_refs.append(shard_s.merge.remote(epoch, blob))
+                feed_refs.append(shard_c.feed.remote(epoch, blob))
+            ray.get(merge_refs)
+            match_tables = [bytes_to_table(b) for b in ray.get(feed_refs)]
+
+            offsets = new_offsets
+            wm = self.source.watermark_clock(offsets)
+            self._commit(epoch, wm, offsets, sessions, ceps, match_tables)
+            ran += 1
+            epoch += 1
+
+        if (
+            self.source.done(offsets)
+            and not finalized
+            and (max_epochs is None or ran < max_epochs)
+        ):
+            self._commit(epoch, 1 << 62, offsets, sessions, ceps, [], final=True)
+            epoch += 1
+
+        stats = ray.get([s.stats.remote() for s in sessions])
+        return {
+            "epochs": epoch,
+            "open_sessions": sum(s["open_sessions"] for s in stats),
+            "sessions_out": sum(
+                self.session_sink.manifest(e)["rows"]
+                for e in self.session_sink.committed_epochs()
+            ),
+            "matches_out": sum(
+                self.match_sink.manifest(e)["rows"]
+                for e in self.match_sink.committed_epochs()
+            ),
+        }
+
+    def _commit(self, epoch, wm, offsets, sessions, ceps, match_tables, final=False):
+        import ray.data
+
+        closed = [
+            bytes_to_table(b)
+            for b in ray.get([s.pop_closed.remote(wm) for s in sessions])
+        ]
+        sess_t = pa.concat_tables([t for t in closed if len(t)]) if any(
+            len(t) for t in closed
+        ) else closed[0]
+        self.session_sink.commit_epoch(
+            ray.data.from_arrow(sess_t),
+            epoch,
+            extra={"offsets": offsets, "watermark": int(wm), "final": final},
+            part_col="key" if "key" in sess_t.column_names and len(sess_t) else None,
+        )
+        nonempty = [t for t in match_tables if len(t)]
+        match_t = (
+            pa.concat_tables(nonempty)
+            if nonempty
+            else pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "start_seq": pa.array([], pa.int64()),
+                    "end_seq": pa.array([], pa.int64()),
+                }
+            )
+        )
+        if len(match_t):
+            idx = pc.sort_indices(
+                match_t, sort_keys=[("key", "ascending"), ("start_seq", "ascending")]
+            )
+            match_t = match_t.take(idx)
+        self.match_sink.commit_epoch(
+            ray.data.from_arrow(match_t),
+            epoch,
+            extra={"offsets": offsets, "watermark": int(wm), "final": final},
+            part_col="key" if len(match_t) else None,
+        )
+        self.ckpt.write(
+            epoch,
+            {"offsets": offsets, "watermark": int(wm), "final": final},
+            {
+                "sessions": ray.get([s.snapshot.remote() for s in sessions]),
+                "cep": ray.get([c.snapshot.remote() for c in ceps]),
+            },
+        )

@@ -176,6 +176,34 @@ def q_streaming_windowed(sf_dir: str):
     return ExactlyOnceSink(f"{wd}/out").read_committed()
 
 
+def q_streaming_sessions(sf_dir: str):
+    """Sessions computed the STREAMING way — micro-batch epochs, session
+    state carried across epochs in shard actors, watermark-timed closes,
+    exactly-once commits — then read back from the manifests.  Oracle:
+    the same single-pass SQL sessionization as ``session_events``."""
+    import tempfile
+
+    import pyarrow.compute as _pc
+
+    from dataflowkit_ray.event_runner import EventStreamRunner
+    from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+
+    wd = tempfile.mkdtemp(prefix="dfkr_sess_", dir="/tmp")
+    EventStreamRunner([f"{sf_dir}/events.parquet"], wd).run()
+    ds = ExactlyOnceSink(f"{wd}/sessions").read_committed()
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["key"],
+                "session_id": t["session_id"],
+                "n_events": t["n_events"],
+            }
+        )
+
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
 def q_filters_regex(sf_dir: str):
     """Scalar filter chain: regex-extract all s-words, ';'-join, uppercase."""
     import ray.data
@@ -330,7 +358,10 @@ QUERIES = {
     "cep_contiguous": q_cep_contiguous,
     "filters_regex": q_filters_regex,
     "streaming_windowed": q_streaming_windowed,
+    "streaming_sessions": q_streaming_sessions,
 }
+
+ORACLES["streaming_sessions"] = ORACLES["session_events"]
 
 from dataflowkit_ray.pipelines.training import TRAINING_ORACLES, TRAINING_QUERIES
 

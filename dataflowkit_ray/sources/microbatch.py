@@ -75,6 +75,7 @@ class MicroBatchSource:
         chunks_per_epoch: int = 2,
         target_rows: int = 4096,
         columns: list[str] | None = None,
+        clock_column: str | None = None,
     ):
         self.files = sorted(files)
         self.n_partitions = n_partitions
@@ -84,6 +85,29 @@ class MicroBatchSource:
         self.by_partition: list[list[Chunk]] = [[] for _ in range(n_partitions)]
         for c in self.chunks:
             self.by_partition[c.seq % n_partitions].append(c)
+        # optional explicit clock (e.g. a sorted ts column): per-chunk first
+        # clock value for clock-unit watermarks.  Test-scale shortcut: one
+        # driver-side column read; at corpus scale these land in the chunk
+        # index during a metadata pass (or from parquet row-group stats).
+        self.chunk_first_clock: dict[int, int] | None = None
+        self.max_clock: int = 0
+        if clock_column is not None:
+            firsts: dict[int, int] = {}
+            file_base: dict[str, int] = {}
+            base = 0
+            for f in self.files:
+                file_base[f] = base
+                base += pq.read_metadata(f).num_rows
+            for f in self.files:
+                col = pq.read_table(f, columns=[clock_column])[clock_column]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                for c in self.chunks:
+                    if c.file == f:
+                        firsts[c.seq] = int(vals[c.global_row_start - file_base[f]])
+                self.max_clock = max(self.max_clock, int(vals[-1]) if len(vals) else 0)
+            self.chunk_first_clock = firsts
 
     def initial_offsets(self) -> list[int]:
         return [0] * self.n_partitions
@@ -158,3 +182,18 @@ class MicroBatchSource:
             "chunks_per_epoch": self.chunks_per_epoch,
             "n_chunks": len(self.chunks),
         }
+
+    def watermark_clock(self, offsets: list[int]) -> int:
+        """Watermark in explicit-clock units (requires ``clock_column``):
+        min over partitions of the first unread chunk's first clock value;
+        partitions with nothing left sit past the max clock."""
+        if self.chunk_first_clock is None:
+            raise ValueError("source built without clock_column")
+        end = self.max_clock + 1
+        frontiers = []
+        for p, off in enumerate(offsets):
+            part = self.by_partition[p]
+            frontiers.append(
+                end if off >= len(part) else self.chunk_first_clock[part[off].seq]
+            )
+        return min(frontiers) if frontiers else 0

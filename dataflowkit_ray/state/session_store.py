@@ -1,0 +1,190 @@
+"""Session-window state shard: gap-merge sessions that span micro-batch
+epochs — the trickiest state interaction called out in SURVEY.md §7.
+
+Correctness contract: per key, events arrive in CLOCK ORDER across
+epochs.  The micro-batch source guarantees this — ``next_slice`` advances
+every partition in lockstep, so each epoch covers a contiguous clock
+range of the (clock-sorted) input.  Under that contract:
+
+* an in-batch gap > G definitively closes the open session (no later
+  event can fall inside it);
+* an open session is closed by time when ``watermark - last_clock > G``
+  (no partition can still deliver an event within the gap).
+
+A fully out-of-order merge would need re-openable pending sessions —
+out of scope; the contract is asserted in ``merge`` (monotonicity check).
+Session id = first clock of the session (data-derived, replay-stable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from dataflowkit_ray.state.store import bytes_to_table, table_to_bytes
+
+
+@ray.remote
+class SessionStateShard:
+    def __init__(self, gap: int):
+        self.gap = gap
+        # key -> [session_start, last_clock, n_events]
+        self.open: dict[int | str, list[int]] = {}
+        self.pending: list[tuple[int | str, int, int, int]] = []  # closed, unemitted
+        self.applied: set[int] = set()
+
+    def merge(self, epoch: int, blob: bytes) -> None:
+        if epoch in self.applied:
+            return
+        self.applied.add(epoch)
+        t = bytes_to_table(blob)
+        keys = t["key"].to_pylist()
+        clocks = t["clock"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((clocks, np.asarray([hash(k) for k in keys])))
+        # stable per-key clock order; process grouped by key
+        by_key: dict = {}
+        for i in order:
+            by_key.setdefault(keys[i], []).append(int(clocks[i]))
+        for k, cs in by_key.items():
+            st = self.open.get(k)
+            for c in cs:
+                if st is None:
+                    st = [c, c, 0]
+                elif c < st[1]:
+                    raise ValueError(
+                        f"out-of-order event for key {k!r}: {c} < {st[1]} "
+                        "(session store requires per-key clock order)"
+                    )
+                elif c - st[1] > self.gap:
+                    self.pending.append((k, st[0], st[1], st[2]))
+                    st = [c, c, 0]
+                st[1] = c
+                st[2] += 1
+            self.open[k] = st
+
+    def pop_closed(self, watermark: int) -> bytes:
+        """Emit pending sessions + open sessions timed out by watermark."""
+        out = list(self.pending)
+        self.pending = []
+        for k in sorted(self.open, key=lambda x: (str(x))):
+            st = self.open[k]
+            if watermark - st[1] > self.gap:
+                out.append((k, st[0], st[1], st[2]))
+                del self.open[k]
+        out.sort(key=lambda r: (str(r[0]), r[1]))
+        key_type = pa.int64() if out and isinstance(out[0][0], int) else pa.string()
+        return table_to_bytes(
+            pa.table(
+                {
+                    "key": pa.array([r[0] for r in out], key_type),
+                    "session_id": pa.array([r[1] for r in out], pa.int64()),
+                    "session_end": pa.array([r[2] for r in out], pa.int64()),
+                    "n_events": pa.array([r[3] for r in out], pa.int64()),
+                }
+            )
+        )
+
+    def snapshot(self) -> dict:
+        return {
+            "gap": self.gap,
+            "open": {k: list(v) for k, v in self.open.items()},
+            "pending": list(self.pending),
+            "applied": sorted(self.applied),
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.gap = snap["gap"]
+        self.open = {k: list(v) for k, v in snap["open"].items()}
+        self.pending = [tuple(p) for p in snap["pending"]]
+        self.applied = set(snap["applied"])
+
+    def stats(self) -> dict:
+        return {"open_sessions": len(self.open), "pending": len(self.pending)}
+
+
+@ray.remote
+class CEPStateShard:
+    """Cross-batch NFA state: one StreamingMatcher per key.
+
+    Token events (key, clock, token) arrive per epoch in per-key clock
+    order (same contract as sessions).  Completed matches are emitted as
+    (key, start_seq, end_seq); partial runs persist across epochs in the
+    matcher's run list (SURVEY.md §2.10 "cross-batch partial matches")."""
+
+    def __init__(self, pattern_steps: list[dict], mode: str):
+        from dataflowkit_ray.stages.cep import Pattern, Step
+
+        self.pattern = Pattern(
+            steps=tuple(
+                Step(
+                    literal=s.get("literal"),
+                    any_of=tuple(s["any_of"]) if s.get("any_of") else None,
+                    residue=tuple(s["residue"]) if s.get("residue") else None,
+                    max_gap=s.get("max_gap", 0),
+                )
+                for s in pattern_steps
+            ),
+            mode=mode,
+        )
+        self.matchers: dict = {}
+        self.applied: set[int] = set()
+
+    def feed(self, epoch: int, blob: bytes) -> bytes:
+        from dataflowkit_ray.stages.cep import StreamingMatcher
+
+        if epoch in self.applied:
+            return table_to_bytes(
+                pa.table(
+                    {
+                        "key": pa.array([], pa.int64()),
+                        "start_seq": pa.array([], pa.int64()),
+                        "end_seq": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        self.applied.add(epoch)
+        t = bytes_to_table(blob)
+        keys = t["key"].to_pylist()
+        clocks = t["clock"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tokens = t["token"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((clocks, np.asarray([hash(k) for k in keys])))
+        out_k, out_s, out_e = [], [], []
+        for i in order:
+            k = keys[i]
+            m = self.matchers.get(k)
+            if m is None:
+                m = self.matchers[k] = StreamingMatcher(self.pattern)
+            for s, e in m.feed(int(tokens[i]), int(clocks[i])):
+                out_k.append(k)
+                out_s.append(s)
+                out_e.append(e)
+        key_type = pa.int64() if out_k and isinstance(out_k[0], int) else pa.int64()
+        return table_to_bytes(
+            pa.table(
+                {
+                    "key": pa.array(out_k, key_type),
+                    "start_seq": pa.array(out_s, pa.int64()),
+                    "end_seq": pa.array(out_e, pa.int64()),
+                }
+            )
+        )
+
+    def snapshot(self) -> dict:
+        from dataclasses import asdict
+
+        return {
+            "applied": sorted(self.applied),
+            "runs": {
+                k: [asdict(r) for r in m.runs] for k, m in self.matchers.items()
+            },
+        }
+
+    def restore(self, snap: dict) -> None:
+        from dataflowkit_ray.stages.cep import NFARun, StreamingMatcher
+
+        self.applied = set(snap["applied"])
+        self.matchers = {
+            k: StreamingMatcher(self.pattern, [NFARun(**r) for r in runs])
+            for k, runs in snap["runs"].items()
+        }
