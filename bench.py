@@ -68,6 +68,13 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         "join_details",
         "cep_contiguous",
         "filters_regex",
+        "exact_dedup",
+        "minhash_dup_pairs",
+        "simhash_pairs",
+        "ann_topk",
+        "embedding_dup_pairs",
+        "text_stats",
+        "streaming_windowed",
     ):
         t0 = time.perf_counter()
         rows[name] = _consume(QUERIES[name](sf_dir))
