@@ -176,6 +176,57 @@ def q_streaming_windowed(sf_dir: str):
     return ExactlyOnceSink(f"{wd}/out").read_committed()
 
 
+def q_filtered_read(sf_dir: str):
+    """Predicate + projection pushdown at the read (SURVEY.md 'Prune at
+    the read'): only (doc_id, source, n_chars) columns and only rows with
+    lang = 'en' AND n_chars > 200 leave storage."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+        filter=(pds.field("lang") == "en") & (pds.field("n_chars") > 200),
+    )
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.string()),
+                "source": t["source"],
+                "n_chars": t["n_chars"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_drop_short(sf_dir: str):
+    """Row-predicate drop (the includeIfEmpty analog, M13): keep docs
+    with n_tok > 40 — vectorized Arrow filter inside map_batches."""
+    ds = load_token_stream(sf_dir)
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_tok"], 40))
+        return t.select(["doc_id", "n_tok", "source"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_streaming_funnel(sf_dir: str):
+    """Cross-batch CEP output: signup -> purchase (gap <= 3 events) per
+    user, with NFA partial runs carried across epochs in state shards.
+    No SQL oracle (leftmost-greedy nonoverlapping NFA needs recursion);
+    equality vs the batch matcher is enforced in tests/test_event_runner."""
+    import tempfile
+
+    from dataflowkit_ray.event_runner import EventStreamRunner
+    from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+
+    wd = tempfile.mkdtemp(prefix="dfkr_funnel_", dir="/tmp")
+    EventStreamRunner([f"{sf_dir}/events.parquet"], wd).run()
+    return ExactlyOnceSink(f"{wd}/matches").read_committed()
+
+
 def q_streaming_sessions(sf_dir: str):
     """Sessions computed the STREAMING way — micro-batch epochs, session
     state carried across epochs in shard actors, watermark-timed closes,
@@ -359,9 +410,19 @@ QUERIES = {
     "filters_regex": q_filters_regex,
     "streaming_windowed": q_streaming_windowed,
     "streaming_sessions": q_streaming_sessions,
+    "filtered_read": q_filtered_read,
+    "drop_short": q_drop_short,
+    "streaming_funnel": q_streaming_funnel,
 }
 
 ORACLES["streaming_sessions"] = ORACLES["session_events"]
+ORACLES["filtered_read"] = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, n_chars
+    FROM documents WHERE lang = 'en' AND n_chars > 200
+"""
+ORACLES["drop_short"] = f"""
+    WITH {TOKEN_CTE} SELECT doc_id, n_tok, source FROM tok WHERE n_tok > 40
+"""
 
 from dataflowkit_ray.pipelines.training import TRAINING_ORACLES, TRAINING_QUERIES
 

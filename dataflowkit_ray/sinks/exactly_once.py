@@ -141,3 +141,11 @@ class ExactlyOnceSink:
         if not files:
             return pa.table({})
         return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def read_committed_ordered(sink: "ExactlyOnceSink", order_cols: list[str]):
+    """Ordered read-back of committed output (the storageResultReader
+    analog: sequential key order ``uid-page-block``,
+    ``/root/reference/scrape/encoders.go:174-263``): Dataset sorted by
+    the given lineage/order columns."""
+    return sink.read_committed().sort(order_cols)

@@ -301,3 +301,21 @@ def run_pipeline(spec: PipelineSpec):
         "format": spec.sink.format,
         "took_sec": round(time.perf_counter() - t0, 3),
     }
+
+
+def pipeline_id(spec: PipelineSpec) -> str:
+    """Deterministic content-hash id of a spec — the InitUID analog
+    (``/root/reference/scrape/scrape.go:134-155``: canonicalize payload,
+    hash, use as job id for checkpoint naming + idempotent sinks).
+
+    Volatile fields (sink path) are stripped before hashing, mirroring
+    the reference's canonicalization; same logical job -> same id."""
+    import copy
+
+    from dataflowkit_ray.config import fnv1a64
+
+    d = json.loads(spec.to_json())
+    if d.get("sink"):
+        d["sink"] = {k: v for k, v in d["sink"].items() if k != "path"}
+    canon = json.dumps(d, sort_keys=True, separators=(",", ":"))
+    return f"{fnv1a64(canon.encode()):016x}"

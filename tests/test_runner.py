@@ -133,3 +133,18 @@ def test_replay_epoch_rewrites_not_appends(ray_session, tmp_path):
     got = _read_out(wd)
     exp = _expected(SF)
     pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_ordered_readback(ray_session, tmp_path):
+    from dataflowkit_ray.sinks.exactly_once import read_committed_ordered
+
+    r = StreamingRunner(
+        [f"{SF}/documents.parquet"], str(tmp_path / "ord"),
+        chunks_per_epoch=1, target_rows=64,
+    )
+    r.run()
+    sink = ExactlyOnceSink(f"{tmp_path}/ord/out")
+    df = read_committed_ordered(sink, ["source", "window_id"]).to_pandas()
+    assert df[["source", "window_id"]].equals(
+        df[["source", "window_id"]].sort_values(["source", "window_id"]).reset_index(drop=True)
+    )

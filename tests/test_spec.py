@@ -149,3 +149,14 @@ def test_run_pipeline_exactly_once_parquet(ray_session, tmp_path):
     from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
 
     assert len(ExactlyOnceSink(str(out)).read_committed_table()) == 320
+
+
+def test_pipeline_id_stable_and_canonical():
+    from dataflowkit_ray.spec import pipeline_id
+
+    a = _base(sink=SinkSpec(path="/tmp/one", format="parquet"))
+    b = _base(sink=SinkSpec(path="/tmp/OTHER", format="parquet"))  # volatile path
+    c = _base(sink=SinkSpec(path="/tmp/one", format="csv"))
+    assert pipeline_id(a) == pipeline_id(b)  # path stripped (canonicalized)
+    assert pipeline_id(a) != pipeline_id(c)  # format is semantic
+    assert len(pipeline_id(a)) == 16
