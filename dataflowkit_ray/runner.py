@@ -45,21 +45,32 @@ from dataflowkit_ray.state.store import (
 )
 
 
-def epoch_partials_fn(window_size: int, pattern, chunk_size: int = 16):
+def epoch_partials_fn(
+    window_size: int, pattern, chunk_size: int = 16, slide: int | None = None
+):
     """One fused map_batches pass: raw doc rows -> per-(source, window)
-    metric partials (sum_n_tok, n_rows, n_details, n_matches)."""
+    metric partials (sum_n_tok, n_rows, n_details, n_matches).
+
+    ``slide`` switches tumbling -> sliding: rows expand to every covering
+    window (flat-map) before the per-batch combiner; the state store and
+    sink are window-kind agnostic."""
     import numpy as np
 
     from dataflowkit_ray.pipelines.flagship import _conform
     from dataflowkit_ray.stages.cep import match_pattern_batch
-    from dataflowkit_ray.stages.windows import assign_tumbling
+    from dataflowkit_ray.stages.windows import assign_sliding, assign_tumbling
     from dataflowkit_ray.tokenize import tokenize_documents
 
     matcher = match_pattern_batch(pattern)
 
+    def assign(b: pa.Table) -> pa.Table:
+        if slide is None:
+            return assign_tumbling(b, window_size)
+        return assign_sliding(b, window_size, slide)
+
     def fn(raw: pa.Table) -> pa.Table:
-        b = tokenize_documents(raw)
-        b = assign_tumbling(b, window_size)
+        b0 = tokenize_documents(raw)  # unexpanded: the matcher's input
+        b = assign(b0)  # sliding expands rows to every covering window
 
         g = b.select(["source", "window_id", "n_tok"]).group_by(
             ["source", "window_id"]
@@ -68,6 +79,8 @@ def epoch_partials_fn(window_size: int, pattern, chunk_size: int = 16):
         win = _conform(g, {"sum_n_tok": "s", "n_rows": "c"})
 
         # details: chunks of a doc are batch-local -> n_details = ceil(n_tok/16)
+        # (under sliding windows a doc counts once per covering window,
+        # matching the batch semantics of assign_sliding + sum)
         n_tok = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
         nd = np.maximum(1, -(-n_tok // chunk_size))
         dt = pa.table(
@@ -80,7 +93,9 @@ def epoch_partials_fn(window_size: int, pattern, chunk_size: int = 16):
         dt = dt.rename_columns(["source", "window_id", "d"])
         det = _conform(dt, {"n_details": "d"})
 
-        m = assign_tumbling(matcher(b), window_size)
+        # matcher runs on UNexpanded rows (else sliding would duplicate
+        # matches per covering window); match rows then window-assign
+        m = assign(matcher(b0))
         gm = m.select(["source", "window_id"]).group_by(
             ["source", "window_id"]
         ).aggregate([([], "count_all")])
@@ -103,9 +118,13 @@ class StreamingRunner:
         pattern=None,
         chunks_per_epoch: int = 2,
         target_rows: int = 512,
+        slide: int | None = None,
     ):
         self.cfg = cfg
         self.window_size = window_size or cfg.tumbling_size
+        if slide is not None and slide <= 0:
+            raise ValueError(f"slide must be >= 1, got {slide}")
+        self.slide = slide  # None -> tumbling; else sliding
         self.n_shards = n_shards or cfg.state_shards
         self.pattern = pattern or default_pattern()
         self.source = MicroBatchSource(
@@ -132,7 +151,9 @@ class StreamingRunner:
             offsets = self.source.initial_offsets()
             epoch = 0
 
-        partial_fn = epoch_partials_fn(self.window_size, self.pattern)
+        partial_fn = epoch_partials_fn(
+            self.window_size, self.pattern, slide=self.slide
+        )
         ran = 0
         while not self.source.done(offsets):
             if max_epochs is not None and ran >= max_epochs:
@@ -161,7 +182,7 @@ class StreamingRunner:
 
             offsets = new_offsets
             wm_event = self.source.watermark(offsets)
-            wm_window = wm_event // self.window_size
+            wm_window = self._closed_frontier(wm_event)
             self._commit(epoch, wm_window, offsets, wm_event, state)
             ran += 1
             epoch += 1
@@ -177,6 +198,7 @@ class StreamingRunner:
             epoch += 1
 
         shard_stats = ray.get([s.stats.remote() for s in state.shards])
+
         return {
             "epochs": epoch,
             "watermark": self.source.watermark(offsets),
@@ -187,6 +209,15 @@ class StreamingRunner:
                 self.sink.manifest(e)["rows"] for e in self.sink.committed_epochs()
             ),
         }
+
+    def _closed_frontier(self, wm_event: int) -> int:
+        """First window id NOT yet closable.  Tumbling window w covers
+        [w*size, (w+1)*size): closed when wm >= (w+1)*size.  Sliding
+        window w covers [w*slide, w*slide+size): closed when
+        wm >= w*slide + size."""
+        if self.slide is None:
+            return wm_event // self.window_size
+        return max(0, (wm_event - self.window_size) // self.slide + 1)
 
     def _commit(self, epoch, wm_window, offsets, wm_event, state, final=False):
         import ray.data
@@ -234,6 +265,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("files", nargs="+", help="input parquet files (documents schema)")
     p.add_argument("--work-dir", required=True, help="output + checkpoint root")
     p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--slide", type=int, default=None,
+                   help="sliding-window slide (default: tumbling)")
+    p.add_argument("--window-size", type=int, default=None)
     p.add_argument("--chunks-per-epoch", type=int, default=2)
     p.add_argument("--target-rows", type=int, default=512)
     p.add_argument("--num-cpus", type=int, default=None)
@@ -251,6 +285,8 @@ def main(argv: list[str] | None = None) -> None:
             args.work_dir,
             chunks_per_epoch=args.chunks_per_epoch,
             target_rows=args.target_rows,
+            slide=args.slide,
+            window_size=args.window_size,
         )
         print(json.dumps(runner.run(max_epochs=args.max_epochs)))
     finally:

@@ -148,3 +148,34 @@ def test_ordered_readback(ray_session, tmp_path):
     assert df[["source", "window_id"]].equals(
         df[["source", "window_id"]].sort_values(["source", "window_id"]).reset_index(drop=True)
     )
+
+
+def test_streaming_sliding_equals_batch(ray_session, tmp_path):
+    """Sliding windows through the streaming runner == batch expansion."""
+    import numpy as np
+
+    from dataflowkit_ray.stages.windows import assign_sliding
+    from dataflowkit_ray.tokenize import tokenize_documents
+
+    size, slide = 64, 32
+    r = StreamingRunner(
+        [f"{SF}/documents.parquet"], str(tmp_path / "slide"),
+        chunks_per_epoch=1, target_rows=64, window_size=size, slide=slide,
+    )
+    summary = r.run()
+    assert summary["open_windows"] == 0
+    got = _read_out(tmp_path / "slide")
+
+    raw = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "source"])
+    tok = assign_sliding(tokenize_documents(raw), size, slide)
+    df = tok.to_pandas()
+    df["n_details"] = np.maximum(1, -(-df.n_tok // 16))
+    exp = (
+        df.groupby(["source", "window_id"])
+        .agg(sum_n_tok=("n_tok", "sum"), n_rows=("n_tok", "count"), n_details=("n_details", "sum"))
+        .reset_index()
+        .sort_values(["source", "window_id"])
+        .reset_index(drop=True)
+    )
+    cols = ["source", "window_id", "sum_n_tok", "n_rows", "n_details"]
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
