@@ -227,6 +227,26 @@ def q_streaming_funnel(sf_dir: str):
     return ExactlyOnceSink(f"{wd}/matches").read_committed()
 
 
+def q_streaming_join(sf_dir: str):
+    """Stream-stream join the STREAMING way: documents and embeddings as
+    two lagged micro-batch sources, parents buffered in JoinStateShard
+    actors until the child epoch arrives, exactly-once commits.  Oracle:
+    the plain inner join."""
+    import tempfile
+
+    from dataflowkit_ray.join_runner import StreamJoinRunner
+    from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+
+    wd = tempfile.mkdtemp(prefix="dfkr_join_", dir="/tmp")
+    StreamJoinRunner(
+        [f"{sf_dir}/documents.parquet"],
+        [f"{sf_dir}/embeddings.parquet"],
+        wd,
+        right_lag=2,
+    ).run()
+    return ExactlyOnceSink(f"{wd}/out").read_committed()
+
+
 def q_streaming_sessions(sf_dir: str):
     """Sessions computed the STREAMING way — micro-batch epochs, session
     state carried across epochs in shard actors, watermark-timed closes,
@@ -413,7 +433,14 @@ QUERIES = {
     "filtered_read": q_filtered_read,
     "drop_short": q_drop_short,
     "streaming_funnel": q_streaming_funnel,
+    "streaming_join": q_streaming_join,
 }
+
+ORACLES["streaming_join"] = f"""
+    WITH {TOKEN_CTE}
+    SELECT t.doc_id, t.n_tok, t.source, CAST(e.label AS INTEGER) AS label
+    FROM tok t JOIN embeddings e ON CAST(t.doc_id AS BIGINT) = e.vec_id
+"""
 
 ORACLES["streaming_sessions"] = ORACLES["session_events"]
 ORACLES["filtered_read"] = """
