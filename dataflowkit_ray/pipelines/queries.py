@@ -227,6 +227,24 @@ def q_streaming_funnel(sf_dir: str):
     return ExactlyOnceSink(f"{wd}/matches").read_committed()
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic sampling — randomness is banned for replay-identity
+    (SURVEY.md §7), so the sample predicate is a pure function of the key:
+    keep docs whose id hashes into the first decile."""
+    ds = load_token_stream(sf_dir)
+
+    def keep(t: pa.Table) -> pa.Table:
+        seq = t["event_seq"]
+        if isinstance(seq, pa.ChunkedArray):
+            seq = seq.combine_chunks()
+        import numpy as np
+
+        mask = pa.array(seq.to_numpy(zero_copy_only=False) % 10 == 0)
+        return t.filter(mask).select(["doc_id", "n_tok", "source"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def q_streaming_join(sf_dir: str):
     """Stream-stream join the STREAMING way: documents and embeddings as
     two lagged micro-batch sources, parents buffered in JoinStateShard
@@ -434,7 +452,13 @@ QUERIES = {
     "drop_short": q_drop_short,
     "streaming_funnel": q_streaming_funnel,
     "streaming_join": q_streaming_join,
+    "sample_docs": q_sample_docs,
 }
+
+ORACLES["sample_docs"] = f"""
+    WITH {TOKEN_CTE}
+    SELECT doc_id, n_tok, source FROM tok WHERE event_seq % 10 = 0
+"""
 
 ORACLES["streaming_join"] = f"""
     WITH {TOKEN_CTE}
