@@ -24,7 +24,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # (documents at sf0.1 is only 5k rows; repeat=20 -> 100k distinct docs)
 REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "100"))
 # --scaling needs enough volume that compute dominates fixed overhead
-SCALING_REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "500"))
+SCALING_REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "1000"))
 
 
 _SINK_SEQ = [0]
