@@ -159,6 +159,7 @@ class StreamingRunner:
             if max_epochs is not None and ran >= max_epochs:
                 break
             specs, new_offsets = self.source.next_slice(offsets)
+            rows_in = sum(s["n_rows"] for s in specs)
             ds = self.source.read_epoch(specs)
             partials = ds.map_batches(partial_fn, batch_format="pyarrow")
             # bounded driver transfer: pre-aggregated per-window partials
@@ -183,7 +184,12 @@ class StreamingRunner:
             offsets = new_offsets
             wm_event = self.source.watermark(offsets)
             wm_window = self._closed_frontier(wm_event)
-            self._commit(epoch, wm_window, offsets, wm_event, state)
+            n_partials = sum(len(t) for t in ptables)
+            self._commit(
+                epoch, wm_window, offsets, wm_event, state,
+                metrics={"rows_in": rows_in, "chunks": len(specs),
+                         "partial_rows": n_partials},
+            )
             ran += 1
             epoch += 1
 
@@ -194,7 +200,10 @@ class StreamingRunner:
         ):
             # final flush: close every remaining window
             wm_event = self.source.watermark(offsets)
-            self._commit(epoch, 1 << 60, offsets, wm_event, state, final=True)
+            self._commit(
+                epoch, 1 << 60, offsets, wm_event, state, final=True,
+                metrics={"rows_in": 0, "chunks": 0, "partial_rows": 0},
+            )
             epoch += 1
 
         shard_stats = ray.get([s.stats.remote() for s in state.shards])
@@ -219,7 +228,9 @@ class StreamingRunner:
             return wm_event // self.window_size
         return max(0, (wm_event - self.window_size) // self.slide + 1)
 
-    def _commit(self, epoch, wm_window, offsets, wm_event, state, final=False):
+    def _commit(
+        self, epoch, wm_window, offsets, wm_event, state, final=False, metrics=None
+    ):
         import ray.data
 
         popped = [
@@ -240,6 +251,7 @@ class StreamingRunner:
                 "watermark_event": wm_event,
                 "watermark_window": min(wm_window, 1 << 60),
                 "final": final,
+                "metrics": metrics or {},
             },
         )
         self.ckpt.write(

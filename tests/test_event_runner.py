@@ -108,3 +108,17 @@ def test_sessions_actually_span_epochs(ray_session, tmp_path):
     summary = r.run()
     assert summary["epochs"] >= 4
     assert _read_sessions(tmp_path / "tiny") == _batch_sessions()
+
+
+def test_multi_file_clock_watermark(ray_session, tmp_path):
+    """clock_column watermark across several files (per-file base offsets)."""
+    t = pq.read_table(f"{SF}/events.parquet")
+    paths = []
+    for i, (lo, n) in enumerate([(0, 400), (400, 350), (750, 250)]):
+        p = str(tmp_path / f"ev{i}.parquet")
+        pq.write_table(t.slice(lo, n), p)
+        paths.append(p)
+    r = EventStreamRunner(paths, str(tmp_path / "multi"))
+    r.run()
+    assert _read_sessions(tmp_path / "multi") == _batch_sessions()
+    assert _read_matches(tmp_path / "multi") == _batch_matches()

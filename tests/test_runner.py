@@ -179,3 +179,21 @@ def test_streaming_sliding_equals_batch(ray_session, tmp_path):
     )
     cols = ["source", "window_id", "sum_n_tok", "n_rows", "n_details"]
     pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+
+
+def test_multi_file_source_equals_batch(ray_session, tmp_path):
+    """The source's cross-file chunk index (global_row_start / file bases)
+    must behave exactly like one concatenated file."""
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "source"])
+    paths = []
+    for i, (lo, n) in enumerate([(0, 180), (180, 200), (380, 120)]):
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(t.slice(lo, n), p)
+        paths.append(p)
+
+    r = StreamingRunner(paths, str(tmp_path / "multi"), chunks_per_epoch=1, target_rows=64)
+    summary = r.run()
+    assert summary["open_windows"] == 0
+    got = _read_out(tmp_path / "multi")
+    exp = _expected(SF)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
