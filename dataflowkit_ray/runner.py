@@ -138,7 +138,7 @@ class StreamingRunner:
         self.ckpt = CheckpointStore(f"{work_dir}/checkpoint")
 
     def run(self, max_epochs: int | None = None) -> dict:
-        state = ShardedState(WindowStateShard, self.n_shards, list(_METRICS))
+        state = ShardedState(WindowStateShard, self.n_shards, list(_METRICS), "n_rows")
         latest = self.ckpt.latest()
         finalized = False
         if latest is not None:

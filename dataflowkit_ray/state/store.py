@@ -51,8 +51,12 @@ class WindowStateShard:
     double-push within a run).  Rows for windows already closed are
     dropped and counted (the late-data metric, SURVEY.md §2.8)."""
 
-    def __init__(self, metrics: list[str]):
+    def __init__(self, metrics: list[str], late_weight: str | None = None):
         self.metrics = list(metrics)
+        # late accounting: sum this metric of dropped partials (e.g. the
+        # input-row count) instead of counting partial rows — a dropped
+        # partial may represent many input rows
+        self.late_idx = self.metrics.index(late_weight) if late_weight else None
         self.state: dict[tuple[str, int], np.ndarray] = {}
         self.applied: set[int] = set()
         self.closed_frontier: int = -1  # max closed window_id
@@ -71,7 +75,9 @@ class WindowStateShard:
         )
         for s, w, v in zip(srcs, wids, vals):
             if w <= self.closed_frontier:
-                self.late_rows += 1
+                self.late_rows += (
+                    int(v[self.late_idx]) if self.late_idx is not None else 1
+                )
                 continue
             key = (s, int(w))
             acc = self.state.get(key)

@@ -197,3 +197,25 @@ def test_multi_file_source_equals_batch(ray_session, tmp_path):
     got = _read_out(tmp_path / "multi")
     exp = _expected(SF)
     pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_late_data_dropped_and_counted(ray_session, tmp_path):
+    """An input file NOT sorted by the event clock produces genuinely late
+    rows (event_seq below the watermark of an already-closed window).
+    They must be dropped AND counted — never silently double-applied
+    (SURVEY.md §2.8 late-data metric)."""
+    import numpy as np
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "source"])
+    # deterministic interleave: reverse halves so late rows are guaranteed
+    idx = np.concatenate([np.arange(250, 500), np.arange(0, 250)])
+    shuffled = t.take(idx)
+    p = str(tmp_path / "unsorted.parquet")
+    pq.write_table(shuffled, p)
+
+    r = StreamingRunner([p], str(tmp_path / "late"), chunks_per_epoch=1, target_rows=16)
+    summary = r.run()
+    assert summary["late_rows"] > 0
+    got = _read_out(tmp_path / "late")
+    # accounting: every input row is either in a window or counted late
+    assert got.n_rows.sum() + summary["late_rows"] == 500
