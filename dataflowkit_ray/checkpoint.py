@@ -71,9 +71,35 @@ class CheckpointStore:
             return json.load(f)
 
     def read_state(self, epoch: int, name: str, n_shards: int) -> list:
+        """Loads all shard snapshots; REFUSES a shard-count mismatch —
+        silently loading fewer shards would drop keyed state and
+        mis-route keys relative to the hash that wrote them."""
+        meta = self.read_meta(epoch)
+        written = meta.get("state_names", {}).get(name)
+        if written is not None and written != n_shards:
+            raise ValueError(
+                f"checkpoint epoch {epoch} has {written} '{name}' shards; "
+                f"resume requested {n_shards} — shard count must not change "
+                "across a resume"
+            )
         d = self._epoch_dir(epoch)
         out = []
         for i in range(n_shards):
             with open(os.path.join(d, f"state-{name}-shard-{i}.bin"), "rb") as f:
                 out.append(pickle.load(f))
         return out
+
+    def prune(self, keep_latest: int = 2) -> None:
+        """Delete checkpoint dirs older than the newest ``keep_latest`` —
+        only the latest is ever read, so disk stays O(state), not
+        O(epochs x state)."""
+        import shutil
+
+        epochs = sorted(
+            int(n.split("=")[1])
+            for n in os.listdir(self.dir)
+            if n.startswith("epoch=")
+            and os.path.exists(os.path.join(self.dir, n, "meta.json"))
+        )
+        for e in epochs[:-keep_latest] if keep_latest else epochs:
+            shutil.rmtree(self._epoch_dir(e), ignore_errors=True)

@@ -83,16 +83,9 @@ class EventStreamRunner:
         self.ckpt = CheckpointStore(f"{work_dir}/checkpoint")
 
     def _route(self, t: pa.Table) -> list[pa.Table | None]:
-        from dataflowkit_ray.tokenize import fnv1a64_numpy
+        from dataflowkit_ray.state.store import route_by_key
 
-        if len(t) == 0:
-            return [None] * self.n_shards
-        keys = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sh = (fnv1a64_numpy(keys) % np.uint64(self.n_shards)).astype(np.int64)
-        return [
-            t.filter(pa.array(sh == i)) if (sh == i).any() else None
-            for i in range(self.n_shards)
-        ]
+        return route_by_key(t, "key", self.n_shards)
 
     def run(self, max_epochs: int | None = None) -> dict:
         sessions = [SessionStateShard.remote(self.gap) for _ in range(self.n_shards)]
@@ -231,3 +224,4 @@ class EventStreamRunner:
                 "cep": ray.get([c.snapshot.remote() for c in ceps]),
             },
         )
+        self.ckpt.prune()

@@ -33,7 +33,8 @@ class StreamJoinRunner:
         work_dir: str,
         n_shards: int = 4,
         right_lag: int = 0,
-        ttl_epochs: int = 1 << 30,
+        ttl_epochs: int = 64,  # bounded buffers: checkpoint size is
+        # O(unmatched rows within TTL), not O(all rows ever seen)
         n_partitions: int = 4,
         chunks_per_epoch: int = 1,
         target_rows: int = 128,
@@ -59,19 +60,9 @@ class StreamJoinRunner:
         self.ckpt = CheckpointStore(f"{work_dir}/checkpoint")
 
     def _route(self, t: pa.Table) -> list[pa.Table | None]:
-        if len(t) == 0:
-            return [None] * self.n_shards
-        keys = t["doc_id"]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        h = fnv1a64_numpy(
-            np.asarray([int(k) for k in keys.to_pylist()], dtype=np.int64)
-        )
-        sh = (h % np.uint64(self.n_shards)).astype(np.int64)
-        return [
-            t.filter(pa.array(sh == i)) if (sh == i).any() else None
-            for i in range(self.n_shards)
-        ]
+        from dataflowkit_ray.state.store import route_by_key
+
+        return route_by_key(t, "doc_id", self.n_shards)
 
     def _epoch_table(self, source, specs, project) -> pa.Table:
         ds = source.read_epoch(specs).map_batches(project, batch_format="pyarrow")
@@ -185,5 +176,6 @@ class StreamJoinRunner:
             {"left_offsets": l_off, "right_offsets": r_off},
             {"join": ray.get([s.snapshot.remote() for s in shards])},
         )
+        self.ckpt.prune()
 
 

@@ -259,6 +259,7 @@ class StreamingRunner:
             {"offsets": offsets, "watermark_event": wm_event, "final": final},
             {"windows": state.snapshot()},
         )
+        self.ckpt.prune()
 
 
 def main(argv: list[str] | None = None) -> None:

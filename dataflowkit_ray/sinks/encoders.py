@@ -66,11 +66,17 @@ def _write_partition(t: pa.Table, path: str, fmt: str, compression: str | None) 
 
 def write_sink(ds, sink) -> int:
     """Write a Dataset through a SinkSpec; returns row count written."""
+    import shutil
+
     if sink.format == "parquet":
         if sink.exactly_once:
             from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
 
             return ExactlyOnceSink(sink.path).commit_epoch(ds, 0)["rows"]
+        # plain path: clear stale output first — write_parquet appends
+        # uniquely-named files, so a re-run into the same dir would mix
+        # two runs' output (and double the glob-based count)
+        shutil.rmtree(sink.path, ignore_errors=True)
         ds.write_parquet(sink.path)
         import glob
 
@@ -80,6 +86,7 @@ def write_sink(ds, sink) -> int:
             pq.read_metadata(f).num_rows for f in glob.glob(f"{sink.path}/*.parquet")
         )
 
+    shutil.rmtree(sink.path, ignore_errors=True)
     os.makedirs(sink.path, exist_ok=True)
     fmt, compression, out_dir = sink.format, sink.compression, sink.path
     ext = {"csv": "csv", "json": "json", "jsonl": "jsonl"}[fmt]

@@ -161,10 +161,10 @@ def validate_spec(spec: PipelineSpec) -> None:
             raise SpecError(f"unknown window kind {w.kind!r}; one of {_WINDOW_KINDS}")
         if w.size <= 0:
             raise SpecError("window size must be > 0")
-        if w.kind == "sliding" and not w.slide:
-            raise SpecError("sliding window needs slide")
-        if w.kind == "session" and not w.gap:
-            raise SpecError("session window needs gap")
+        if w.kind == "sliding" and (w.slide is None or w.slide <= 0):
+            raise SpecError("sliding window needs slide >= 1")
+        if w.kind == "session" and (w.gap is None or w.gap <= 0):
+            raise SpecError("session window needs gap >= 1")
     if spec.aggregates and not spec.window:
         raise SpecError("aggregates need a window")
     for a in spec.aggregates:

@@ -132,9 +132,10 @@ def cogroup_join_structs(parent_ds, child_ds, key: str = "doc_id"):
         side = t["side"].to_numpy(zero_copy_only=False)
         parents = t.filter(pa.array(side == 0))
         children = t.filter(pa.array(side == 1))
-        if len(parents) == 0:
-            # child rows with no parent in this epoch: inner-join drops them
-            # (the streaming runner buffers them in the state store instead)
+        if len(parents) == 0 or len(children) == 0:
+            # inner semantics on BOTH paths: unmatched rows of either side
+            # drop, matching the hash-join path (the streaming runner
+            # buffers them in the state store instead; J1 cross-epoch)
             out = {c: pa.array([], type=parent_schema_types[c]) for c in parent_cols}
             out["n_details"] = pa.array([], type=pa.int64())
             out["details"] = pa.array(

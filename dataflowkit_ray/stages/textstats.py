@@ -48,11 +48,9 @@ def text_stats_batch(t: pa.Table) -> pa.Table:
         np.append(stop_np, 0), offsets[:-1]
     ) * (n_words > 0)
 
-    # distinct words per row: sort flattened (row_id, word_hash) pairs
-    import zlib
-
-    uh = np.fromiter((zlib.crc32(u.encode()) for u in uniq), count=len(uniq), dtype=np.int64)
-    wh = uh[idx]
+    # distinct words per row via the dictionary CODES (exact — a crc
+    # hash here would add a 32-bit collision path that undercounts)
+    wh = idx.astype(np.int64)
     row_of = np.repeat(np.arange(len(n_words)), n_words)
     order = np.lexsort((wh, row_of))
     rw, hh = row_of[order], wh[order]

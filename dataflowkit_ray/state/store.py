@@ -167,18 +167,23 @@ class JoinStateShard:
         self.expired_rows = 0
 
     def probe_and_buffer(self, epoch: int, side: str, blob: bytes) -> bytes:
-        """Returns joined rows (left row columns + right row columns)."""
+        """Returns joined rows (left row columns + right row columns).
+
+        The LEFT side is the build side: a left row is ALWAYS retained
+        (until TTL) so rights for the same key keep joining no matter
+        when they arrive — arrival order must not change the join result
+        (a left that only popped buffered rights would silently drop any
+        right arriving after it).  Rights are consumed on match."""
         t = bytes_to_table(blob)
         out: list[pa.Table] = []
         if side == "left":
             for i, doc in enumerate(t["doc_id"].to_pylist()):
                 row = table_to_bytes(t.slice(i, 1))
+                self.left[doc] = (epoch, row)
                 rights = self.right.pop(doc, None)
                 if rights:
                     for _, rb in rights:
                         out.append(_join_rows(row, rb))
-                else:
-                    self.left[doc] = (epoch, row)
         else:
             for i, doc in enumerate(t["doc_id"].to_pylist()):
                 row = table_to_bytes(t.slice(i, 1))
@@ -192,19 +197,23 @@ class JoinStateShard:
         return table_to_bytes(pa.concat_tables(out))
 
     def expire(self, epoch: int, ttl: int) -> int:
+        """Drop buffers older than ttl epochs; ``expired_rows`` counts
+        ROWS dropped (incl. rows expired out of partially-kept lists)."""
         drop_l = [k for k, (e, _) in self.left.items() if epoch - e > ttl]
         for k in drop_l:
             del self.left[k]
-        drop_r = []
+        dropped_r = 0
+        empty_keys = []
         for k, lst in self.right.items():
             keep = [(e, b) for e, b in lst if epoch - e <= ttl]
+            dropped_r += len(lst) - len(keep)
             if keep:
                 self.right[k] = keep
             else:
-                drop_r.append(k)
-        for k in drop_r:
+                empty_keys.append(k)
+        for k in empty_keys:
             del self.right[k]
-        self.expired_rows += len(drop_l) + len(drop_r)
+        self.expired_rows += len(drop_l) + dropped_r
         return self.expired_rows
 
     def snapshot(self) -> dict:
@@ -258,3 +267,17 @@ class ShardedState:
 
     def restore(self, snaps: list) -> None:
         ray.get([s.restore.remote(sn) for s, sn in zip(self.shards, snaps)])
+
+
+def route_by_key(t: pa.Table, key_col: str, n_shards: int) -> list[pa.Table | None]:
+    """Shared hash-split of a table across shard actors (one routing
+    implementation for every runner — int and string keys, vectorized)."""
+    from dataflowkit_ray.stages.windows import bucket_of
+
+    if len(t) == 0:
+        return [None] * n_shards
+    sh = bucket_of(t[key_col], n_shards)
+    return [
+        t.filter(pa.array(sh == i)) if (sh == i).any() else None
+        for i in range(n_shards)
+    ]
