@@ -51,9 +51,13 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
+    skip = set((sys.argv[2] if len(sys.argv) > 2 else "").split(","))
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if name in skip:
+            print(f"{name:24s} SKIPPED")
+            continue
         t0 = time.time()
         try:
             res = fn(SF)

@@ -71,3 +71,29 @@ def test_join_crash_resume(ray_session, tmp_path):
     )
     resumed.run()
     pd.testing.assert_frame_equal(_read(tmp_path / "full"), _read(tmp_path / "crash"))
+
+
+def test_rights_join_regardless_of_arrival_order(ray_session, tmp_path):
+    """Regression: rights for a key arriving in epochs BEFORE and AFTER
+    the left must all join (the left is the retained build side)."""
+    import pyarrow as pa
+
+    left = pa.table(
+        {"doc_id": pa.array([7], pa.int64()),
+         "text": ["hello world tokens here"], "source": ["s"]}
+    )
+    right = pa.table(
+        {"vec_id": pa.array([7, 7], pa.int64()), "label": pa.array([1, 2], pa.int32())}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(left, str(tmp_path / "l.parquet"))
+    pq.write_table(right, str(tmp_path / "r.parquet"))
+    r = StreamJoinRunner(
+        [str(tmp_path / "l.parquet")], [str(tmp_path / "r.parquet")],
+        str(tmp_path / "wd"), n_partitions=1, chunks_per_epoch=1, target_rows=1,
+    )
+    s = r.run()
+    assert s["rows_out"] == 2
+    t = ExactlyOnceSink(f"{tmp_path}/wd/out").read_committed_table()
+    assert sorted(t["label"].to_pylist()) == [1, 2]
