@@ -227,6 +227,16 @@ def q_streaming_funnel(sf_dir: str):
     return ExactlyOnceSink(f"{wd}/matches").read_committed()
 
 
+def q_approx_distinct(sf_dir: str):
+    """KMV distinct sketch per source (the approximate path for 10^12-key
+    distinct counts; shuffle volume bounded at k hashes per group).  On
+    this corpus every group has < k distinct docs, so the sketch is in
+    its exact regime and hash-matches COUNT(DISTINCT)."""
+    from dataflowkit_ray.stages.sketch import kmv_distinct
+
+    return kmv_distinct(load_token_stream(sf_dir), keys=("source",), k=256)
+
+
 def q_sample_docs(sf_dir: str):
     """Deterministic sampling — randomness is banned for replay-identity
     (SURVEY.md §7), so the sample predicate is a pure function of the key:
@@ -453,7 +463,14 @@ QUERIES = {
     "streaming_funnel": q_streaming_funnel,
     "streaming_join": q_streaming_join,
     "sample_docs": q_sample_docs,
+    "approx_distinct": q_approx_distinct,
 }
+
+ORACLES["approx_distinct"] = """
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS approx_distinct
+    FROM documents GROUP BY source
+"""
 
 ORACLES["sample_docs"] = f"""
     WITH {TOKEN_CTE}

@@ -1,0 +1,140 @@
+"""Mergeable sketches for approximate aggregates at corpus scale.
+
+The exact salted distinct count (``windows.salted_distinct_docs``) ships
+every distinct (key, doc) tuple through the shuffle — exact, but at
+10^12 documents the shuffle volume is the corpus.  The KMV (k-minimum
+values) sketch bounds it: per group only the ``k`` smallest 64-bit hashes
+survive, the merge is "k smallest of the union" (associative +
+commutative + idempotent — safe under replays and arbitrary partial
+merges), and the estimator is ``(k-1) * 2^64 / kth_min`` with relative
+error ~ 1/sqrt(k).  Hashing is the engine's deterministic FNV — same
+input, same sketch, bit-identical resumes (SURVEY.md §7).
+
+Shape: the standard bucket pattern (stages/agg.py) — per-batch combiner
+collapses to one sketch row per key, the shuffle key is
+``hash(keys) % n_buckets``, per-bucket merge is vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dataflowkit_ray.stages.agg import composite_bucket
+from dataflowkit_ray.tokenize import fnv1a64_numpy
+
+_MAX64 = float(1 << 64)
+
+
+def _kmv_rows(
+    keys_tbl: pa.Table, key_list: list[str], hashes: np.ndarray, k: int
+) -> pa.Table:
+    """Collapse (keys, hash) rows to one sketch row per key group:
+    ``minhashes: list<uint64>`` holding the <=k smallest distinct hashes."""
+    # group rows by key tuple via sort over a composite group id
+    gid = composite_bucket(keys_tbl, key_list, 1 << 62)
+    order = np.lexsort((hashes, gid))
+    g, h = gid[order], hashes[order]
+    out_idx: list[int] = []
+    sketches: list[np.ndarray] = []
+    start = 0
+    for i in range(1, len(g) + 1):
+        if i == len(g) or g[i] != g[start]:
+            hh = np.unique(h[start:i])[:k]
+            out_idx.append(order[start])
+            sketches.append(hh)
+            start = i
+    rep = keys_tbl.take(pa.array(np.asarray(out_idx, dtype=np.int64)))
+    return pa.table(
+        {
+            **{c: rep[c] for c in key_list},
+            "minhashes": pa.array([s.tolist() for s in sketches], pa.list_(pa.uint64())),
+        }
+    )
+
+
+def kmv_estimate(minhashes: np.ndarray, k: int) -> float:
+    """Distinct estimate from a sketch (exact when fewer than k hashes)."""
+    if len(minhashes) < k:
+        return float(len(minhashes))
+    kth = float(minhashes[k - 1])
+    return (k - 1) * _MAX64 / kth
+
+
+def kmv_distinct(
+    ds,
+    keys: tuple[str, ...] = ("source",),
+    value_col: str = "doc_id",
+    k: int = 256,
+    n_buckets: int = 32,
+):
+    """Approximate count-distinct(value) per key group.
+
+    Output: ``keys + (approx_distinct: double)``.  Relative error
+    ~ 1/sqrt(k) (k=256 -> ~6%); exact below k distinct values.
+    """
+    key_list = list(keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if pa.types.is_integer(v.type):
+            h = fnv1a64_numpy(v.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            import zlib
+
+            d = v.dictionary_encode()
+            uniq = d.dictionary.to_pylist()
+            uh = np.fromiter(
+                (zlib.crc32(str(u).encode()) for u in uniq),
+                count=len(uniq),
+                dtype=np.int64,
+            )
+            h = fnv1a64_numpy(uh[d.indices.to_numpy(zero_copy_only=False)])
+        sk = _kmv_rows(t.select(key_list), key_list, h, k)
+        return sk.append_column(
+            "_bucket", pa.array(composite_bucket(sk, key_list, n_buckets))
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        mh = t["minhashes"]
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.combine_chunks()
+        flat = mh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        offsets = mh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        lengths = np.diff(offsets)
+        row_of = np.repeat(np.arange(len(t)), lengths)
+
+        gid = composite_bucket(t, key_list, 1 << 62)
+        g_flat = gid[row_of]
+        order = np.lexsort((flat, g_flat))
+        g, h = g_flat[order], flat[order]
+        out_rows: list[int] = []
+        est: list[float] = []
+        start = 0
+        for i in range(1, len(g) + 1):
+            if i == len(g) or g[i] != g[start]:
+                merged = np.unique(h[start:i])[:k]
+                first_row = int(row_of[order[start]])
+                out_rows.append(first_row)
+                est.append(kmv_estimate(merged, k))
+                start = i
+        rep = t.take(pa.array(np.asarray(out_rows, dtype=np.int64)))
+        return pa.table(
+            {
+                **{c: rep[c] for c in key_list},
+                "approx_distinct": pa.array(est, pa.float64()),
+            }
+        )
+
+    return (
+        partials.groupby("_bucket")
+        .map_groups(
+            lambda t: merge_bucket(t.drop_columns(["_bucket"])),
+            batch_format="pyarrow",
+        )
+    )

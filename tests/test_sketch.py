@@ -1,0 +1,58 @@
+"""KMV distinct sketch: accuracy envelope, merge associativity, exactness
+below k, determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dataflowkit_ray.stages.sketch import kmv_distinct, kmv_estimate
+from dataflowkit_ray.tokenize import fnv1a64_numpy
+
+
+def _stream(n_rows, n_distinct, n_keys=3):
+    import ray.data
+
+    rng = np.arange(n_rows)
+    t = pa.table(
+        {
+            "source": pa.array([f"s{i % n_keys}" for i in rng]),
+            "doc_id": pa.array((rng % n_distinct).astype(np.int64)),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(8), t
+
+
+def test_exact_below_k(ray_session):
+    ds, t = _stream(n_rows=500, n_distinct=60)
+    out = kmv_distinct(ds, keys=("source",), k=256).to_pandas()
+    # 60 distinct doc_ids per key (each key sees all residues) < k -> exact
+    exact = t.to_pandas().groupby("source").doc_id.nunique()
+    for _, row in out.iterrows():
+        assert row.approx_distinct == exact[row.source]
+
+
+def test_estimate_within_error_envelope(ray_session):
+    k = 256
+    ds, t = _stream(n_rows=40_000, n_distinct=10_000)
+    out = kmv_distinct(ds, keys=("source",), k=k).to_pandas()
+    exact = t.to_pandas().groupby("source").doc_id.nunique()
+    for _, row in out.iterrows():
+        rel = abs(row.approx_distinct - exact[row.source]) / exact[row.source]
+        assert rel < 5 / np.sqrt(k)  # generous envelope (~31%); typical ~6%
+
+
+def test_deterministic_across_runs(ray_session):
+    ds1, _ = _stream(n_rows=10_000, n_distinct=3_000)
+    ds2, _ = _stream(n_rows=10_000, n_distinct=3_000)
+    a = kmv_distinct(ds1, k=64).to_pandas().sort_values("source").reset_index(drop=True)
+    b = kmv_distinct(ds2, k=64).to_pandas().sort_values("source").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_kmv_estimate_monotone_in_kth():
+    h = np.sort(fnv1a64_numpy(np.arange(1000, dtype=np.int64)))
+    small = kmv_estimate(h[:256], 256)
+    # doubling the density of small hashes doubles the estimate (roughly)
+    h2 = np.sort(fnv1a64_numpy(np.arange(2000, dtype=np.int64)))
+    big = kmv_estimate(h2[:256], 256)
+    assert big > small * 1.5
