@@ -22,7 +22,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # deterministic stream-volume multiplier for the flagship headline metric
 # (documents at sf0.1 is only 5k rows; repeat=20 -> 100k distinct docs)
-REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "100"))
+REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "500"))
 # --scaling needs enough volume that compute dominates fixed overhead
 SCALING_REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "1000"))
 
