@@ -17,6 +17,7 @@ exactly-once idempotency, golden-output testing), not implementation.
 from dataflowkit_ray.config import EngineConfig
 from dataflowkit_ray.tokenize import tokenize_documents, token_id, load_token_stream
 from dataflowkit_ray.clock import assign_clock, watermark_of
+from dataflowkit_ray.spec import PipelineSpec, build_pipeline, run_pipeline
 
 __all__ = [
     "EngineConfig",
@@ -25,4 +26,7 @@ __all__ = [
     "load_token_stream",
     "assign_clock",
     "watermark_of",
+    "PipelineSpec",
+    "build_pipeline",
+    "run_pipeline",
 ]

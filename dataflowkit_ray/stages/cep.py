@@ -34,11 +34,16 @@ import pyarrow.compute as pc
 
 @dataclass(frozen=True)
 class Step:
-    """One NFA step. Exactly one of literal/any_of/residue is set."""
+    """One NFA step. Exactly one of literal/any_of/residue/predicate is set.
+
+    ``predicate`` is the plugin hook (the reference's Action interface,
+    ``/root/reference/fetch/actions.go:15-52``, as a CEP predicate): any
+    picklable ``np.ndarray -> bool ndarray`` vectorized function."""
 
     literal: int | None = None
     any_of: tuple[int, ...] | None = None
     residue: tuple[int, int] | None = None  # (mod, rest): token % mod == rest
+    predicate: object | None = None  # Callable[[np.ndarray], np.ndarray]
     max_gap: int = 0  # tokens allowed to skip BEFORE this step (first step: 0 ignored)
 
     def mask(self, tokens: np.ndarray) -> np.ndarray:
@@ -46,6 +51,11 @@ class Step:
             return tokens == self.literal
         if self.any_of is not None:
             return np.isin(tokens, np.asarray(self.any_of, dtype=tokens.dtype))
+        if self.predicate is not None:
+            out = np.asarray(self.predicate(tokens), dtype=bool)
+            if out.shape != tokens.shape:
+                raise ValueError("step predicate must return a mask of input shape")
+            return out
         mod, rest = self.residue
         return (tokens % mod) == rest
 

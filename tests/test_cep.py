@@ -108,3 +108,42 @@ def test_streaming_nfa_equivalent_to_batch(pattern):
         for i, tok in enumerate(seq[cut:], start=cut):
             got.extend(m2.feed(tok, i))
         assert got == brute_force(seq, pattern)
+
+
+def test_custom_predicate_step(ray_session):
+    """Plugin predicate steps (the Action-interface analog): an arbitrary
+    vectorized token predicate participates in the NFA."""
+    import numpy as np
+
+    from dataflowkit_ray.stages.cep import Pattern, Step, match_pattern_batch
+
+    def is_even(tokens):
+        return tokens % 2 == 0
+
+    pat = Pattern(
+        steps=(Step(predicate=is_even), Step(predicate=lambda t: t > 100, max_gap=1)),
+        mode="overlapping",
+    )
+    t = pa.table(
+        {
+            "doc_id": ["d"],
+            "source": ["s"],
+            "event_seq": pa.array([0], pa.int64()),
+            "tokens": pa.array([[2, 5, 200, 7, 4, 50, 101]], pa.list_(pa.int32())),
+        }
+    )
+    out = match_pattern_batch(pat)(t)
+    got = sorted(zip(out["match_start"].to_pylist(), out["match_end"].to_pylist()))
+    # overlapping: every even token that can reach a >100 token within gap 1
+    # starts a match — 2@0 -> 200@2; 4@4 -> 101@6; 50@5 -> 101@6
+    assert got == [(0, 3), (4, 7), (5, 7)]
+
+
+def test_custom_predicate_shape_validated():
+    import numpy as np
+
+    from dataflowkit_ray.stages.cep import Pattern, Step, _contiguous_starts
+
+    bad = Step(predicate=lambda t: np.array([True]))
+    with pytest.raises(ValueError, match="input shape"):
+        bad.mask(np.array([1, 2, 3]))
