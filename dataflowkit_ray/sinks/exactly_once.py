@@ -121,8 +121,18 @@ class ExactlyOnceSink:
             return json.load(f)
 
     def committed_files(self) -> list[str]:
+        epochs = self.committed_epochs()
+        # a compaction manifest absorbs everything <= compacted_through;
+        # if cleanup was interrupted, stale absorbed manifests are skipped
+        compacted_through = -1
+        for e in epochs:
+            ct = self.manifest(e).get("compacted_through")
+            if ct is not None:
+                compacted_through = max(compacted_through, ct)
         files = []
-        for e in self.committed_epochs():
+        for e in epochs:
+            if e <= compacted_through:
+                continue
             for p in self.manifest(e)["parts"]:
                 files.append(os.path.join(self.parts_dir, p["part"]))
         return files
@@ -149,3 +159,58 @@ def read_committed_ordered(sink: "ExactlyOnceSink", order_cols: list[str]):
     ``/root/reference/scrape/encoders.go:174-263``): Dataset sorted by
     the given lineage/order columns."""
     return sink.read_committed().sort(order_cols)
+
+
+# ------------------------------------------------------------- compaction
+
+
+def compact(sink: "ExactlyOnceSink", target_rows_per_part: int = 1_000_000) -> dict:
+    """Rewrite all committed epochs into few large parts (the small-files
+    problem: one part per sink partition per epoch means thousands of
+    epochs leave thousands of tiny files).
+
+    Exactly-once discipline is preserved: compacted parts are written to
+    temp names + atomic rename, then ONE compaction manifest (next epoch
+    number, ``compacted_through`` = last absorbed epoch) is published
+    atomically; readers seeing it skip every absorbed manifest.  A crash
+    mid-compaction leaves the old manifests authoritative.  Absorbed
+    part files are deleted only AFTER the manifest flips (lazy cleanup —
+    orphans are harmless because readers never glob)."""
+    epochs = sink.committed_epochs()
+    if not epochs:
+        return {"compacted_through": None, "parts": []}
+    # ignore epochs already absorbed by a previous compaction
+    absorbed_files = sink.committed_files()
+    table = sink.read_committed_table()
+    last = epochs[-1]
+    comp_epoch = last + 1
+    parts = []
+    n = len(table)
+    n_parts = max(1, -(-n // target_rows_per_part))
+    for i in range(n_parts):
+        part_tbl = table.slice(i * target_rows_per_part, target_rows_per_part)
+        name = f"part-e{comp_epoch:05d}-c{i:04d}.parquet"
+        final = os.path.join(sink.parts_dir, name)
+        tmp = final + ".tmp"
+        pq.write_table(part_tbl, tmp)
+        os.replace(tmp, final)
+        parts.append({"part": name, "rows": len(part_tbl)})
+    manifest = {
+        "epoch": comp_epoch,
+        "parts": parts,
+        "rows": int(n),
+        "compacted_through": last,
+    }
+    _atomic_write_json(sink._manifest_path(comp_epoch), manifest)
+    # lazy cleanup: absorbed manifests + their parts
+    for e in epochs:
+        try:
+            os.remove(sink._manifest_path(e))
+        except FileNotFoundError:
+            pass
+    for f in absorbed_files:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+    return manifest

@@ -219,3 +219,34 @@ def test_late_data_dropped_and_counted(ray_session, tmp_path):
     got = _read_out(tmp_path / "late")
     # accounting: every input row is either in a window or counted late
     assert got.n_rows.sum() + summary["late_rows"] == 500
+
+
+def test_sink_compaction_preserves_rows(ray_session, tmp_path):
+    """Compaction rewrites many per-epoch parts into few files with
+    identical content; later epochs commit on top and reads merge both."""
+    import pyarrow as pa
+    import ray.data
+
+    from dataflowkit_ray.sinks.exactly_once import compact
+
+    wd = str(tmp_path / "cmp")
+    r = StreamingRunner([f"{SF}/documents.parquet"], wd, chunks_per_epoch=1, target_rows=64)
+    r.run()
+    sink = ExactlyOnceSink(f"{wd}/out")
+    before = sink.read_committed_table().to_pandas().sort_values(
+        ["source", "window_id"]).reset_index(drop=True)
+    n_files_before = len(sink.committed_files())
+
+    m = compact(sink)
+    assert m["rows"] == len(before)
+    after = sink.read_committed_table().to_pandas().sort_values(
+        ["source", "window_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    assert len(sink.committed_files()) < n_files_before
+
+    # a new epoch lands after compaction; reads merge compacted + new
+    extra = pa.table({"source": ["zz"], "window_id": pa.array([999], pa.int64()),
+                      "sum_n_tok": pa.array([1], pa.int64()), "n_rows": pa.array([1], pa.int64()),
+                      "n_details": pa.array([1], pa.int64()), "n_matches": pa.array([0], pa.int64())})
+    sink.commit_epoch(ray.data.from_arrow(extra), m["epoch"] + 1)
+    assert len(sink.read_committed_table()) == len(before) + 1
