@@ -155,11 +155,10 @@ class EventStreamRunner:
             ran += 1
             epoch += 1
 
-        if (
-            self.source.done(offsets)
-            and not finalized
-            and (max_epochs is None or ran < max_epochs)
-        ):
+        if self.source.done(offsets) and not finalized:
+            # max_epochs bounds INGEST epochs only — once the source is
+            # done the flush must run, else gap-open tail sessions are
+            # silently never emitted despite a "complete" summary
             self._commit(epoch, 1 << 62, offsets, sessions, ceps, [], final=True)
             epoch += 1
 

@@ -13,7 +13,6 @@ exactly-once per epoch; join buffers snapshot into every checkpoint.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -22,7 +21,7 @@ from dataflowkit_ray.checkpoint import CheckpointStore
 from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
 from dataflowkit_ray.sources.microbatch import MicroBatchSource
 from dataflowkit_ray.state.store import JoinStateShard, bytes_to_table, table_to_bytes
-from dataflowkit_ray.tokenize import fnv1a64_numpy, tokenize_documents
+from dataflowkit_ray.tokenize import tokenize_documents
 
 
 class StreamJoinRunner:

@@ -193,12 +193,9 @@ class StreamingRunner:
             ran += 1
             epoch += 1
 
-        if (
-            self.source.done(offsets)
-            and not finalized
-            and (max_epochs is None or ran < max_epochs)
-        ):
-            # final flush: close every remaining window
+        if self.source.done(offsets) and not finalized:
+            # final flush closes every remaining window; max_epochs bounds
+            # ingest epochs only (a done source always flushes)
             wm_event = self.source.watermark(offsets)
             self._commit(
                 epoch, 1 << 60, offsets, wm_event, state, final=True,

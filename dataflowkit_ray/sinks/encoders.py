@@ -61,6 +61,8 @@ def _write_partition(t: pa.Table, path: str, fmt: str, compression: str | None) 
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 

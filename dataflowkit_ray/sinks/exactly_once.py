@@ -28,6 +28,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def _fsync_file(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -83,7 +91,8 @@ class ExactlyOnceSink:
             final = os.path.join(parts_dir, name)
             tmp = final + ".tmp"
             pq.write_table(t, tmp)
-            os.replace(tmp, final)
+            _fsync_file(tmp)  # a durable manifest must never reference
+            os.replace(tmp, final)  # a part whose data blocks were lost
             return pa.table({"part": [name], "rows": [len(t)]})
 
         written = (
@@ -116,21 +125,35 @@ class ExactlyOnceSink:
                 out.append(int(f[len("manifest-e") : -len(".json")]))
         return out
 
+    def _compact_manifest_path(self, idx: int) -> str:
+        return os.path.join(self.manifest_dir, f"manifest-c{idx:05d}.json")
+
+    def compaction_manifests(self) -> list[int]:
+        out = []
+        for f in sorted(os.listdir(self.manifest_dir)):
+            if f.startswith("manifest-c") and f.endswith(".json"):
+                out.append(int(f[len("manifest-c") : -len(".json")]))
+        return out
+
     def manifest(self, epoch: int) -> dict:
         with open(self._manifest_path(epoch)) as f:
             return json.load(f)
 
     def committed_files(self) -> list[str]:
-        epochs = self.committed_epochs()
-        # a compaction manifest absorbs everything <= compacted_through;
-        # if cleanup was interrupted, stale absorbed manifests are skipped
-        compacted_through = -1
-        for e in epochs:
-            ct = self.manifest(e).get("compacted_through")
-            if ct is not None:
-                compacted_through = max(compacted_through, ct)
+        # the newest compaction manifest absorbs every epoch manifest
+        # <= its compacted_through; interrupted cleanup leaves stale
+        # absorbed manifests + older compactions, both skipped here
         files = []
-        for e in epochs:
+        compacted_through = -1
+        compacts = self.compaction_manifests()
+        if compacts:
+            newest = compacts[-1]
+            with open(self._compact_manifest_path(newest)) as f:
+                cm = json.load(f)
+            compacted_through = cm["compacted_through"]
+            for p in cm["parts"]:
+                files.append(os.path.join(self.parts_dir, p["part"]))
+        for e in self.committed_epochs():
             if e <= compacted_through:
                 continue
             for p in self.manifest(e)["parts"]:
@@ -179,33 +202,42 @@ def compact(sink: "ExactlyOnceSink", target_rows_per_part: int = 1_000_000) -> d
     epochs = sink.committed_epochs()
     if not epochs:
         return {"compacted_through": None, "parts": []}
-    # ignore epochs already absorbed by a previous compaction
     absorbed_files = sink.committed_files()
+    prev_compacts = sink.compaction_manifests()
     table = sink.read_committed_table()
     last = epochs[-1]
-    comp_epoch = last + 1
+    # compaction manifests live in their OWN namespace (manifest-cNNNNN /
+    # part-cNNNNN-*): a resumed runner's next commit_epoch(last+1) must
+    # never overwrite the compaction and orphan the absorbed data
+    comp_idx = (max(prev_compacts) + 1) if prev_compacts else 0
     parts = []
     n = len(table)
     n_parts = max(1, -(-n // target_rows_per_part))
     for i in range(n_parts):
         part_tbl = table.slice(i * target_rows_per_part, target_rows_per_part)
-        name = f"part-e{comp_epoch:05d}-c{i:04d}.parquet"
+        name = f"part-c{comp_idx:05d}-{i:04d}.parquet"
         final = os.path.join(sink.parts_dir, name)
         tmp = final + ".tmp"
         pq.write_table(part_tbl, tmp)
+        _fsync_file(tmp)
         os.replace(tmp, final)
         parts.append({"part": name, "rows": len(part_tbl)})
     manifest = {
-        "epoch": comp_epoch,
+        "compaction": comp_idx,
         "parts": parts,
         "rows": int(n),
         "compacted_through": last,
     }
-    _atomic_write_json(sink._manifest_path(comp_epoch), manifest)
-    # lazy cleanup: absorbed manifests + their parts
+    _atomic_write_json(sink._compact_manifest_path(comp_idx), manifest)
+    # lazy cleanup: absorbed epoch manifests, older compactions, old parts
     for e in epochs:
         try:
             os.remove(sink._manifest_path(e))
+        except FileNotFoundError:
+            pass
+    for c in prev_compacts:
+        try:
+            os.remove(sink._compact_manifest_path(c))
         except FileNotFoundError:
             pass
     for f in absorbed_files:

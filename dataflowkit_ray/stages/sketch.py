@@ -21,9 +21,19 @@ import numpy as np
 import pyarrow as pa
 
 from dataflowkit_ray.stages.agg import composite_bucket
-from dataflowkit_ray.tokenize import fnv1a64_numpy
+from dataflowkit_ray.tokenize import fnv1a64_numpy, full_hash64
 
 _MAX64 = float(1 << 64)
+
+
+def _group_id64(keys_tbl: pa.Table, key_list: list[str]) -> np.ndarray:
+    """Full-width composite group id (collision space 2^64 — the
+    bucket-capped composite_bucket only carries 30 bits per column and
+    silently merged distinct keys beyond ~50k groups)."""
+    h = np.zeros(len(keys_tbl), dtype=np.uint64)
+    for c in key_list:
+        h = h * np.uint64(1099511628211) + full_hash64(keys_tbl[c])
+    return h
 
 
 def _kmv_rows(
@@ -32,7 +42,7 @@ def _kmv_rows(
     """Collapse (keys, hash) rows to one sketch row per key group:
     ``minhashes: list<uint64>`` holding the <=k smallest distinct hashes."""
     # group rows by key tuple via sort over a composite group id
-    gid = composite_bucket(keys_tbl, key_list, 1 << 62)
+    gid = _group_id64(keys_tbl, key_list)
     order = np.lexsort((hashes, gid))
     g, h = gid[order], hashes[order]
     out_idx: list[int] = []
@@ -79,19 +89,7 @@ def kmv_distinct(
         v = t[value_col]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
-        if pa.types.is_integer(v.type):
-            h = fnv1a64_numpy(v.to_numpy(zero_copy_only=False).astype(np.int64))
-        else:
-            import zlib
-
-            d = v.dictionary_encode()
-            uniq = d.dictionary.to_pylist()
-            uh = np.fromiter(
-                (zlib.crc32(str(u).encode()) for u in uniq),
-                count=len(uniq),
-                dtype=np.int64,
-            )
-            h = fnv1a64_numpy(uh[d.indices.to_numpy(zero_copy_only=False)])
+        h = full_hash64(v)  # full 64-bit identity hash (strings incl.)
         sk = _kmv_rows(t.select(key_list), key_list, h, k)
         return sk.append_column(
             "_bucket", pa.array(composite_bucket(sk, key_list, n_buckets))
@@ -109,7 +107,7 @@ def kmv_distinct(
         lengths = np.diff(offsets)
         row_of = np.repeat(np.arange(len(t)), lengths)
 
-        gid = composite_bucket(t, key_list, 1 << 62)
+        gid = _group_id64(t, key_list)
         g_flat = gid[row_of]
         order = np.lexsort((flat, g_flat))
         g, h = g_flat[order], flat[order]

@@ -121,6 +121,7 @@ class CEPStateShard:
                     literal=s.get("literal"),
                     any_of=tuple(s["any_of"]) if s.get("any_of") else None,
                     residue=tuple(s["residue"]) if s.get("residue") else None,
+                    predicate=s.get("predicate"),  # plugin steps work streamed
                     max_gap=s.get("max_gap", 0),
                 )
                 for s in pattern_steps
@@ -159,7 +160,11 @@ class CEPStateShard:
                 out_k.append(k)
                 out_s.append(s)
                 out_e.append(e)
-        key_type = pa.int64() if out_k and isinstance(out_k[0], int) else pa.int64()
+        # evict keys with no live partial runs: actor memory and snapshot
+        # size track LIVE NFA state, not every key ever seen
+        for k in [k for k, m in self.matchers.items() if not m.runs]:
+            del self.matchers[k]
+        key_type = pa.string() if out_k and isinstance(out_k[0], str) else pa.int64()
         return table_to_bytes(
             pa.table(
                 {

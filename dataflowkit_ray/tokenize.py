@@ -210,3 +210,35 @@ def hash_token_lists(tokens: pa.ListArray) -> np.ndarray:
             h = (h ^ byte) * prime
         out[active] = h
     return out
+
+
+def full_hash64(arr) -> "np.ndarray":
+    """Full-width 64-bit content hash per element (int or string arrays).
+
+    Unlike ``windows.bucket_of`` (which only needs balance and caps
+    entropy), this is for IDENTITY: KMV sketch values, group ids, dedup
+    keys.  Strings hash via blake2b-8 over the (small) dictionary of
+    uniques — a true 64-bit space; a crc32 pre-hash here would cap
+    distinct values at 2^32 and saturate cardinality estimates.
+    """
+    import hashlib
+
+    import pyarrow as _pa
+
+    if isinstance(arr, _pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if _pa.types.is_integer(arr.type):
+        return fnv1a64_numpy(arr.to_numpy(zero_copy_only=False).astype(np.int64))
+    d = arr.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    uh = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(str(u).encode(), digest_size=8).digest(), "little"
+            )
+            for u in uniq
+        ),
+        count=len(uniq),
+        dtype=np.uint64,
+    )
+    return uh[d.indices.to_numpy(zero_copy_only=False)]

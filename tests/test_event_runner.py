@@ -90,7 +90,8 @@ def test_event_runner_crash_resume(ray_session, tmp_path):
     full.run()
 
     crashed = EventStreamRunner([f"{SF}/events.parquet"], str(tmp_path / "crash"))
-    crashed.run(max_epochs=3)
+    partial = crashed.run(max_epochs=1)  # genuinely mid-stream: source not done
+    assert partial["sessions_out"] < 946  # stream not fully emitted yet
     resumed = EventStreamRunner([f"{SF}/events.parquet"], str(tmp_path / "crash"))
     resumed.run()
 

@@ -248,5 +248,26 @@ def test_sink_compaction_preserves_rows(ray_session, tmp_path):
     extra = pa.table({"source": ["zz"], "window_id": pa.array([999], pa.int64()),
                       "sum_n_tok": pa.array([1], pa.int64()), "n_rows": pa.array([1], pa.int64()),
                       "n_details": pa.array([1], pa.int64()), "n_matches": pa.array([0], pa.int64())})
-    sink.commit_epoch(ray.data.from_arrow(extra), m["epoch"] + 1)
+    sink.commit_epoch(ray.data.from_arrow(extra), m["compacted_through"] + 1)
     assert len(sink.read_committed_table()) == len(before) + 1
+
+
+def test_resume_after_compaction_keeps_absorbed_data(ray_session, tmp_path):
+    """Regression: the compaction manifest must live outside the epoch
+    namespace — a resumed runner's next commit previously overwrote it
+    and orphaned all absorbed rows."""
+    from dataflowkit_ray.sinks.exactly_once import compact
+
+    wd = str(tmp_path / "rc")
+    r = StreamingRunner([f"{SF}/documents.parquet"], wd, chunks_per_epoch=1, target_rows=16)
+    r.run(max_epochs=2)
+    sink = ExactlyOnceSink(f"{wd}/out")
+    mid_rows = len(sink.read_committed_table())
+    compact(sink)
+    assert len(sink.read_committed_table()) == mid_rows
+
+    resumed = StreamingRunner([f"{SF}/documents.parquet"], wd, chunks_per_epoch=1, target_rows=16)
+    resumed.run()
+    got = _read_out(tmp_path / "rc")
+    exp = _expected(SF)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
