@@ -32,12 +32,12 @@ class SessionStateShard:
         # key -> [session_start, last_clock, n_events]
         self.open: dict[int | str, list[int]] = {}
         self.pending: list[tuple[int | str, int, int, int]] = []  # closed, unemitted
-        self.applied: set[int] = set()
+        self.last_applied: int = -1  # epochs strictly increase; scalar guard
 
     def merge(self, epoch: int, blob: bytes) -> None:
-        if epoch in self.applied:
+        if epoch <= self.last_applied:
             return
-        self.applied.add(epoch)
+        self.last_applied = epoch
         t = bytes_to_table(blob)
         keys = t["key"].to_pylist()
         clocks = t["clock"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -90,14 +90,14 @@ class SessionStateShard:
             "gap": self.gap,
             "open": {k: list(v) for k, v in self.open.items()},
             "pending": list(self.pending),
-            "applied": sorted(self.applied),
+            "last_applied": self.last_applied,
         }
 
     def restore(self, snap: dict) -> None:
         self.gap = snap["gap"]
         self.open = {k: list(v) for k, v in snap["open"].items()}
         self.pending = [tuple(p) for p in snap["pending"]]
-        self.applied = set(snap["applied"])
+        self.last_applied = snap["last_applied"]
 
     def stats(self) -> dict:
         return {"open_sessions": len(self.open), "pending": len(self.pending)}
@@ -129,12 +129,12 @@ class CEPStateShard:
             mode=mode,
         )
         self.matchers: dict = {}
-        self.applied: set[int] = set()
+        self.last_applied: int = -1
 
     def feed(self, epoch: int, blob: bytes) -> bytes:
         from dataflowkit_ray.stages.cep import StreamingMatcher
 
-        if epoch in self.applied:
+        if epoch <= self.last_applied:
             return table_to_bytes(
                 pa.table(
                     {
@@ -144,7 +144,7 @@ class CEPStateShard:
                     }
                 )
             )
-        self.applied.add(epoch)
+        self.last_applied = epoch
         t = bytes_to_table(blob)
         keys = t["key"].to_pylist()
         clocks = t["clock"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -179,7 +179,7 @@ class CEPStateShard:
         from dataclasses import asdict
 
         return {
-            "applied": sorted(self.applied),
+            "last_applied": self.last_applied,
             "runs": {
                 k: [asdict(r) for r in m.runs] for k, m in self.matchers.items()
             },
@@ -188,7 +188,7 @@ class CEPStateShard:
     def restore(self, snap: dict) -> None:
         from dataflowkit_ray.stages.cep import NFARun, StreamingMatcher
 
-        self.applied = set(snap["applied"])
+        self.last_applied = snap["last_applied"]
         self.matchers = {
             k: StreamingMatcher(self.pattern, [NFARun(**r) for r in runs])
             for k, runs in snap["runs"].items()

@@ -58,14 +58,17 @@ class WindowStateShard:
         # partial may represent many input rows
         self.late_idx = self.metrics.index(late_weight) if late_weight else None
         self.state: dict[tuple[str, int], np.ndarray] = {}
-        self.applied: set[int] = set()
+        # epochs arrive strictly increasing (runner contract), so a scalar
+        # high-watermark replaces the applied-set: bounded state instead
+        # of O(epochs) per snapshot
+        self.last_applied: int = -1
         self.closed_frontier: int = -1  # max closed window_id
         self.late_rows: int = 0
 
     def merge(self, epoch: int, blob: bytes) -> None:
-        if epoch in self.applied:
+        if epoch <= self.last_applied:
             return
-        self.applied.add(epoch)
+        self.last_applied = epoch
         t = bytes_to_table(blob)
         srcs = t["source"].to_pylist()
         wids = t["window_id"].to_pylist()
@@ -127,7 +130,7 @@ class WindowStateShard:
         )
         return {
             "table": table_to_bytes(t),
-            "applied": sorted(self.applied),
+            "last_applied": self.last_applied,
             "closed_frontier": self.closed_frontier,
             "late_rows": self.late_rows,
         }
@@ -143,7 +146,7 @@ class WindowStateShard:
         ) if len(t) else np.zeros((0, len(self.metrics)), dtype=np.int64)
         for s, w, v in zip(srcs, wids, vals):
             self.state[(s, int(w))] = v.copy()
-        self.applied = set(snap["applied"])
+        self.last_applied = snap["last_applied"]
         self.closed_frontier = snap["closed_frontier"]
         self.late_rows = snap["late_rows"]
 
