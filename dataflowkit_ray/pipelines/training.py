@@ -47,24 +47,25 @@ def q_simhash_pairs(sf_dir: str):
 
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-5 for the first 10 vectors (broadcast query
-    matrix, per-batch float64 matmul, partial top-k -> bucket merge)."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    mask = np.asarray([v < 10 for v in t["vec_id"].to_pylist()])
-    import pyarrow as pa
-
-    qt = t.filter(pa.array(mask))
-    qv = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
-    qi = np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64)
+    matrix, per-batch float64 matmul, partial top-k -> bucket merge).
+    Only the 10 query rows are read driver-side (row-filtered read)."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "<", 10)]
+    )
+    qv = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    qi = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
     return brute_topk(_emb(sf_dir), qv, qi, k=5)
 
 
 def q_embedding_dup_pairs(sf_dir: str):
     """Near-dup embedding pairs (cosine >= 0.42 — chosen to be non-empty
-    on the synthetic embeddings, whose max off-diagonal cosine is ~0.51)."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    return cosine_dup_pairs(_emb(sf_dir), threshold=0.42, all_vecs=vecs, all_ids=ids)
+    on the synthetic embeddings, whose max off-diagonal cosine is ~0.51).
+
+    Distributed block-pair all-pairs join: exact (recall 1, so the SQL
+    cross-join oracle agrees), no driver materialization, no corpus
+    broadcast.  At a production threshold (>= ~0.9) ``lsh_dup_pairs``
+    prunes the O(N^2) compare instead."""
+    return cosine_dup_pairs(_emb(sf_dir), threshold=0.42, n_blocks=8)
 
 
 def q_lsh_dup_pairs(sf_dir: str):

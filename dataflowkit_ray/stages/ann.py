@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from dataflowkit_ray.tokenize import fnv1a64_numpy
 
@@ -126,40 +127,103 @@ def cosine_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    all_vecs: np.ndarray | None = None,
+    n_blocks: int = 8,
+    all_vecs: np.ndarray | None = None,  # ignored (kept for API compat)
     all_ids: np.ndarray | None = None,
 ):
-    """All (a < b) pairs with cosine >= threshold — blocked brute force.
+    """All (a < b) pairs with cosine >= threshold — distributed block-pair
+    all-pairs join (recall 1.0, exact).
 
-    Each batch multiplies against the broadcast full matrix (the small
-    side at test scale; at corpus scale swap in :func:`lsh_dup_pairs`).
+    Each vector is hash-assigned to one of ``n_blocks`` blocks and
+    replicated once per *block pair* it participates in (``n_blocks``
+    copies); one shuffle co-groups every block pair (i <= j) and a single
+    float64 matmul per group finds the qualifying pairs.  Nothing touches
+    the driver; shuffle volume is N * n_blocks rows, compute is the
+    inherent O(N^2) of an all-pairs-below-threshold query, split over
+    ``n_blocks * (n_blocks+1) / 2`` tasks.  Size ``n_blocks`` ~
+    sqrt(N^2 / pairs_per_task) at corpus scale.  For HIGH thresholds use
+    :func:`lsh_dup_pairs`, which prunes the candidate space instead.
     """
-    import ray
 
-    m_ref = ray.put((_unit(np.asarray(all_vecs, dtype=np.float64)), np.asarray(all_ids)))
-
-    def block(t: pa.Table) -> pa.Table:
-        full, full_ids = ray.get(m_ref)
-        m = _unit(_mat(t[vec_col]))
+    def expand(t: pa.Table) -> pa.Table:
+        m = _mat(t[vec_col])
         ids = (
             t[id_col].combine_chunks()
             if isinstance(t[id_col], pa.ChunkedArray)
             else t[id_col]
-        ).to_numpy(zero_copy_only=False)
-        sims = np.round(m @ full.T, 6)
-        bi, fj = np.nonzero(sims >= threshold)
-        a = ids[bi]
-        b = full_ids[fj]
-        keep = a < b
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        own = (fnv1a64_numpy(ids.astype(np.uint64)) % np.uint64(n_blocks)).astype(
+            np.int64
+        )
+        n = len(ids)
+        other = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        own_rep = np.repeat(own, n_blocks)
+        lo = np.minimum(own_rep, other)
+        hi = np.maximum(own_rep, other)
+        # each row lands in group (o,o) once and in each (o,x) once, so
+        # every block pair co-groups exactly one copy of each member row
+        group = lo * n_blocks + hi
+        vecs = t[vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        row_idx = np.repeat(np.arange(n), n_blocks)
         return pa.table(
             {
-                "doc_a": pa.array(a[keep].astype(np.int64)),
-                "doc_b": pa.array(b[keep].astype(np.int64)),
-                "cosine": pa.array(sims[bi, fj][keep]),
+                "_grp": pa.array(group),
+                "_own": pa.array(own_rep),
+                id_col: pa.array(ids[row_idx]),
+                vec_col: vecs.take(pa.array(row_idx)),
             }
         )
 
-    return ds.map_batches(block, batch_format="pyarrow")
+    def compare(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        grp = int(t["_grp"][0].as_py())
+        lo, hi = grp // n_blocks, grp % n_blocks
+        own = t["_own"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _unit(_mat(t[vec_col]))
+        if lo == hi:
+            # deduplicate the n_blocks copies of each same-block row
+            uniq, first = np.unique(ids, return_index=True)
+            mm = m[first]
+            sims = np.round(mm @ mm.T, 6)
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            a, b = uniq[ai], uniq[bi]
+            cs = sims[ai, bi]
+        else:
+            li = own == lo
+            ri = own == hi
+            if not li.any() or not ri.any():
+                return empty
+            sims = np.round(m[li] @ m[ri].T, 6)
+            ai, bi = np.nonzero(sims >= threshold)
+            a, b = ids[li][ai], ids[ri][bi]
+            cs = sims[ai, bi]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table(
+            {
+                "doc_a": pa.array(a2.astype(np.int64)),
+                "doc_b": pa.array(b2.astype(np.int64)),
+                "cosine": pa.array(cs, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("_grp")
+        .map_groups(compare, batch_format="pyarrow")
+    )
 
 
 def lsh_dup_pairs(
@@ -190,31 +254,28 @@ def lsh_dup_pairs(
         return dim_holder[dim]
 
     def sig_stage(t: pa.Table) -> pa.Table:
+        """Ships (table, sig, id) ONLY — vectors never enter the banding
+        shuffle (÷ n_tables shuffle bytes vs replicating the vector)."""
         m = _unit(_mat(t[vec_col]))
         ids = (
             t[id_col].combine_chunks()
             if isinstance(t[id_col], pa.ChunkedArray)
             else t[id_col]
-        ).to_numpy(zero_copy_only=False)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
         pl = planes_for(m.shape[1])
-        rows = {"table": [], "sig": [], id_col: [], vec_col: []}
-        vecs = t[vec_col]
-        if isinstance(vecs, pa.ChunkedArray):
-            vecs = vecs.combine_chunks()
-        for ti in range(n_tables):
-            signs = (m @ pl[ti].T) > 0  # (B, n_planes)
-            sig = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(
-                axis=1
-            )
-            rows["table"].extend([ti] * len(ids))
-            rows["sig"].extend(sig.astype(np.int64).tolist())
-            rows[id_col].extend(ids.tolist())
+        n = len(ids)
+        # (T, B) signature matrix in one shot
+        signs = np.einsum("bd,tpd->tbp", m, pl) > 0  # (T, B, P)
+        sig = (
+            signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)[None, None, :]
+        ).sum(axis=2)  # (T, B)
         return pa.table(
             {
-                "table": pa.array(rows["table"], pa.int32()),
-                "sig": pa.array(rows["sig"], pa.int64()),
-                id_col: pa.array(rows[id_col], pa.int64()),
-                vec_col: pa.concat_arrays([vecs.combine_chunks() if isinstance(vecs, pa.ChunkedArray) else vecs] * n_tables),
+                "table": pa.array(
+                    np.repeat(np.arange(n_tables, dtype=np.int32), n)
+                ),
+                "sig": pa.array(sig.ravel().astype(np.int64)),
+                id_col: pa.array(np.tile(ids, n_tables)),
             }
         )
 
@@ -226,39 +287,85 @@ def lsh_dup_pairs(
         mix = fnv1a64_numpy(ti * np.uint64(0x9E3779B97F4A7C15) + sg)
         return t.append_column("_bucket", pa.array((mix % np.uint64(64)).astype(np.int64)))
 
-    from dataflowkit_ray.stages.dedup import _pairs_from_groups
+    from dataflowkit_ray.stages.agg import hash_agg
+    from dataflowkit_ray.stages.dedup import _pairs_from_groups, pair_payload_join
 
-    def verify_bucket(t: pa.Table) -> pa.Table:
+    def pairs_bucket(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         group = (
             t["table"].to_numpy(zero_copy_only=False).astype(np.int64) * (1 << 50)
             + t["sig"].to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        m = _unit(_mat(t[vec_col]))
-        vec_by_id = {}
-        for i, d in enumerate(ids):
-            vec_by_id.setdefault(int(d), m[i])
         cand = _pairs_from_groups(ids, group)
-        out = {"doc_a": [], "doc_b": [], "cosine": []}
-        for a, b_ in cand:
-            c = round(float(vec_by_id[int(a)] @ vec_by_id[int(b_)]), 6)
-            if c >= threshold:
-                out["doc_a"].append(int(a))
-                out["doc_b"].append(int(b_))
-                out["cosine"].append(c)
         return pa.table(
             {
-                "doc_a": pa.array(out["doc_a"], pa.int64()),
-                "doc_b": pa.array(out["doc_b"], pa.int64()),
-                "cosine": pa.array(out["cosine"], pa.float64()),
+                "doc_a": pa.array(cand[:, 0].astype(np.int64)),
+                "doc_b": pa.array(cand[:, 1].astype(np.int64)),
+                "_one": pa.array(np.ones(len(cand), dtype=np.int64)),
             }
         )
 
-    pairs = (
+    cand = (
         sigs.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(verify_bucket, batch_format="pyarrow")
+        .map_groups(
+            lambda t: pairs_bucket(t.drop_columns(["_bucket"])),
+            batch_format="pyarrow",
+        )
     )
-    from dataflowkit_ray.stages.agg import hash_agg
+    cand = hash_agg(
+        cand, ("doc_a", "doc_b"), [("_one", "count", "_n")], n_buckets=16
+    ).select_columns(["doc_a", "doc_b"])
 
-    return hash_agg(pairs, ("doc_a", "doc_b"), [("cosine", "min", "cosine")], n_buckets=16)
+    # verify: bucket join of pairs x (id -> vector); batched dot products
+    def payload_stage(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        vecs = t[vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        return pa.table({id_col: pc.cast(ids, pa.int64()), "vec": vecs})
+
+    payload_ds = ds.map_batches(payload_stage, batch_format="pyarrow")
+    vec_type = payload_ds.schema().types[1]
+
+    def cosine_verify(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        newpair = np.ones(len(t), dtype=bool)
+        newpair[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        pair_id = np.cumsum(newpair) - 1
+        n_pairs = int(pair_id[-1]) + 1
+        complete = np.bincount(pair_id, minlength=n_pairs) == 2
+        m = _unit(_mat(t["payload"]))
+        first = np.nonzero(newpair)[0]
+        i0 = first[complete]
+        cs = np.round(np.einsum("ij,ij->i", m[i0], m[i0 + 1]), 6)
+        keep = cs >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[i0][keep].astype(np.int64)),
+                "doc_b": pa.array(b[i0][keep].astype(np.int64)),
+                "cosine": pa.array(cs[keep], pa.float64()),
+            }
+        )
+
+    return pair_payload_join(
+        cand,
+        payload_ds,
+        cosine_verify,
+        id_col=id_col,
+        payload_col="vec",
+        payload_type=vec_type,
+        n_buckets=64,
+    )

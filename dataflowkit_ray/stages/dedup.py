@@ -12,72 +12,110 @@ content hash) and adds the near-dup family a 100 TB corpus needs:
 
 Everything shuffles by BUCKET (``hash % n_buckets``), never by raw key,
 and verifies pairs inside vectorized per-bucket calls — the same pattern
-as ``stages/agg.hash_agg``.  Deterministic hash functions only (zlib.crc32
-+ FNV mixing): replays and the DuckDB oracle agree bit-for-bit.
+as ``stages/agg.hash_agg``.  The verify step is a BUCKET JOIN of the
+candidate-pair stream against the (doc -> shingles) stream: no driver
+materialization, no corpus-data broadcast, each stage streams.
+
+Hashing is deterministic and full-width: word hashes are blake2b-8 over
+the per-batch dictionary of unique words (vectorized via
+``dictionary_encode`` — the Python cost is O(unique words), amortized
+over repeats, the same pattern as ``stages/textstats.py``); shingle
+hashes are an FNV-1a chain over the word hashes.  Full 64-bit width so
+distinct content cannot silently false-merge at corpus scale (a crc32
+pre-hash would cap the space at 2^32).
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from dataflowkit_ray.config import FNV_OFFSET, FNV_PRIME
-from dataflowkit_ray.stages.agg import hash_agg
-from dataflowkit_ray.tokenize import fnv1a64_numpy
+from dataflowkit_ray.stages.agg import composite_bucket, hash_agg
+from dataflowkit_ray.tokenize import fnv1a64_numpy, full_hash64
 
 
 # ----------------------------------------------------------------- hashing
 
 
-def crc64_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Deterministic 64-bit content hash per string (crc32 ⊕ adler32 mix)."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    vals = arr.to_pylist()
-    out = np.empty(len(vals), dtype=np.uint64)
-    for i, s in enumerate(vals):
-        b = s.encode() if s is not None else b""
-        out[i] = (zlib.crc32(b) << 32) | zlib.adler32(b)
-    return out
+def _word_hashes(text: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """Split on ' ' -> (row_offsets int64 (n+1), flat 64-bit word hashes).
+
+    Word hash = blake2b-8 of the word bytes, computed once per UNIQUE
+    word in the batch (dictionary-encode) and broadcast through the
+    codes — vectorized; no per-row Python."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    words = pc.split_pattern(text, pattern=" ")
+    flat = words.flatten()
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    if len(flat) == 0:
+        return offsets, np.empty(0, np.uint64)
+    d = flat.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    uh = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(u.encode(), digest_size=8).digest(), "little"
+            )
+            for u in uniq
+        ),
+        count=len(uniq),
+        dtype=np.uint64,
+    )
+    wh = uh[d.indices.to_numpy(zero_copy_only=False)]
+    return offsets, wh
+
+
+def shingle_hash_flat(
+    text: pa.Array | pa.ChunkedArray, w: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row sorted-UNIQUE hashes of word w-shingles, for a whole batch
+    at once: returns ``(row_offsets (n+1), values)`` in list<uint64>
+    layout.  Shingle hash = FNV-1a chain over the w word hashes
+    (order-sensitive: "a b c" != "c b a").  Rows with fewer than ``w``
+    words emit one length-1 chain per word (same set size as hashing each
+    word, so Jaccard semantics are unchanged)."""
+    offsets, wh = _word_hashes(text)
+    n = len(offsets) - 1
+    n_words = np.diff(offsets)
+    s_len = np.where(n_words >= w, n_words - w + 1, n_words)
+    cum = np.concatenate(([0], np.cumsum(s_len)))
+    S = int(cum[-1])
+    if S == 0:
+        return np.zeros(n + 1, np.int64), np.empty(0, np.uint64)
+    row_of = np.repeat(np.arange(n), s_len)
+    pos = np.arange(S) - np.repeat(cum[:-1], s_len)
+    gstart = offsets[:-1][row_of] + pos
+    clen = np.where(n_words[row_of] >= w, w, 1)
+    h = np.full(S, FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(FNV_PRIME)
+    for j in range(w):
+        active = clen > j
+        if not active.any():
+            break
+        h[active] = (h[active] ^ wh[gstart[active] + j]) * prime
+    # per-row unique: sort by (row, hash), drop adjacent dups
+    order = np.lexsort((h, row_of))
+    r, v = row_of[order], h[order]
+    keep = np.ones(S, dtype=bool)
+    if S > 1:
+        keep[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+    r2, v2 = r[keep], v[keep]
+    counts = np.bincount(r2, minlength=n)
+    out_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    return out_off, v2
 
 
 def shingle_hashes(text: pa.Array | pa.ChunkedArray, w: int = 3) -> list[np.ndarray]:
-    """Per row: sorted unique hashes of word w-shingles (vectorized per row).
-
-    Shingle hash = FNV-1a over the crc32s of its words — order-sensitive,
-    so ("a b c") != ("c b a")."""
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    out: list[np.ndarray] = []
-    for s in text.to_pylist():
-        words = (s or "").split(" ")
-        wh = np.fromiter(
-            (zlib.crc32(x.encode()) for x in words), count=len(words), dtype=np.uint64
-        )
-        if len(words) < w:
-            sh = fnv1a64_numpy(wh) if len(words) else np.empty(0, np.uint64)
-        else:
-            h = np.full(len(wh) - w + 1, FNV_OFFSET, dtype=np.uint64)
-            prime = np.uint64(FNV_PRIME)
-            for j in range(w):
-                h = (h ^ wh[j : len(wh) - w + 1 + j]) * prime
-            sh = h
-        out.append(np.unique(sh))
-    return out
-
-
-def minhash_signature(shingles: np.ndarray, k: int = 64) -> np.ndarray:
-    """k-permutation minhash via k independent affine rehashes (deterministic
-    odd multipliers derived from FNV powers)."""
-    if len(shingles) == 0:
-        return np.full(k, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
-    mults = _MINHASH_MULTS[:k]
-    adds = _MINHASH_ADDS[:k]
-    # (k, n) affine transforms; min over shingles per row
-    vals = (shingles[None, :] * mults[:, None] + adds[:, None])
-    return vals.min(axis=1)
+    """List-of-arrays view over :func:`shingle_hash_flat` (test helper)."""
+    off, vals = shingle_hash_flat(text, w)
+    return [vals[off[i] : off[i + 1]] for i in range(len(off) - 1)]
 
 
 def _gen_consts(k: int, seed_mult: int) -> np.ndarray:
@@ -91,18 +129,78 @@ def _gen_consts(k: int, seed_mult: int) -> np.ndarray:
 
 _MINHASH_MULTS = _gen_consts(256, 0x9E3779B9)
 _MINHASH_ADDS = _gen_consts(256, 0x85EBCA77)
+_EMPTY_MIN = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def minhash_signatures_batch(
+    offsets: np.ndarray, values: np.ndarray, k: int = 64
+) -> np.ndarray:
+    """(n, k) minhash signatures for a whole batch of shingle sets.
+
+    k independent affine rehashes, min-reduced per row via cumulative
+    minimum segments; the k axis is chunked so peak temp memory stays
+    ~8 * chunk * len(values) bytes regardless of batch size."""
+    n = len(offsets) - 1
+    out = np.full((n, k), _EMPTY_MIN, dtype=np.uint64)
+    if len(values) == 0 or n == 0:
+        return out
+    lens = np.diff(offsets)
+    nonempty = lens > 0
+    starts = offsets[:-1]
+    chunk = 8
+    for c0 in range(0, k, chunk):
+        c1 = min(c0 + chunk, k)
+        mults = _MINHASH_MULTS[c0:c1]
+        adds = _MINHASH_ADDS[c0:c1]
+        vals = values[None, :] * mults[:, None] + adds[:, None]  # (c, S)
+        mins = np.minimum.reduceat(vals, starts[nonempty], axis=1)  # (c, n_nonempty)
+        out[nonempty, c0:c1] = mins.T
+    return out
+
+
+def minhash_signature(shingles: np.ndarray, k: int = 64) -> np.ndarray:
+    """Scalar (single-set) form of :func:`minhash_signatures_batch`."""
+    off = np.array([0, len(shingles)], dtype=np.int64)
+    return minhash_signatures_batch(off, np.asarray(shingles, dtype=np.uint64), k)[0]
+
+
+def simhash64_batch(offsets: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per row over list<uint64> layout (vectorized).
+
+    Per row: rehash each element (FNV-1a), vote per bit (+1/-1), fingerprint
+    bit j = 1 when the vote is positive.  Bit axis processed 8 bits at a
+    time to bound temp memory."""
+    n = len(offsets) - 1
+    fp = np.zeros(n, dtype=np.uint64)
+    if len(values) == 0 or n == 0:
+        return fp
+    h = fnv1a64_numpy(values.astype(np.uint64))
+    counts = np.diff(offsets).astype(np.int64)
+    for b0 in range(0, 64, 8):
+        shifts = np.arange(b0, b0 + 8, dtype=np.uint64)
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        csum = np.zeros((len(values) + 1, 8), dtype=np.int64)
+        np.cumsum(bits, axis=0, out=csum[1:])
+        ones = csum[offsets[1:]] - csum[offsets[:-1]]  # (n, 8)
+        votes = 2 * ones - counts[:, None]
+        fp |= ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return fp
 
 
 def simhash64(shingles_or_tokens: np.ndarray) -> int:
-    """64-bit SimHash: sign of per-bit vote over element hashes."""
-    if len(shingles_or_tokens) == 0:
-        return 0
-    h = fnv1a64_numpy(shingles_or_tokens.astype(np.uint64))
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int64
+    """Scalar SimHash (tests / pattern authoring)."""
+    v = np.asarray(shingles_or_tokens, dtype=np.uint64)
+    off = np.array([0, len(v)], dtype=np.int64)
+    return int(simhash64_batch(off, v)[0])
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    return (
+        np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+        .sum(axis=1)
+        .astype(np.int64)
     )
-    votes = (2 * bits - 1).sum(axis=0)
-    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
 # ------------------------------------------------------------- exact dedup
@@ -112,10 +210,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep-first per content hash: (doc_id=min, n_copies) per distinct text.
 
     The distributed form of the reference's Upsert-on-content-hash (O3,
-    SURVEY.md §2.6): one bucket shuffle, no raw-text exchange."""
+    SURVEY.md §2.6): one bucket shuffle, no raw-text exchange.  Content
+    hash = full-width blake2b-8 (``tokenize.full_hash64``) — a 64-bit
+    identity space, vectorized over the batch dictionary."""
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = crc64_strings(t[text_col])
+        h = full_hash64(t[text_col])
         return pa.table(
             {
                 id_col: t[id_col],
@@ -154,6 +254,211 @@ def _pairs_from_groups(doc_ids: np.ndarray, group_ids: np.ndarray) -> np.ndarray
     return np.unique(np.concatenate(pairs), axis=0)
 
 
+def pair_payload_join(
+    pairs_ds,
+    payload_ds,
+    verify_fn,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "shingles",
+    payload_type: pa.DataType | None = None,
+    n_buckets: int = 64,
+):
+    """Bucket join of a candidate-pair stream against a (id -> payload)
+    stream, then a per-pair verify — the corpus-scale verify shape shared
+    by MinHash-Jaccard and LSH-cosine dedup.
+
+    No driver materialization anywhere: two tagged-union bucket shuffles,
+    everything vectorized per bucket.
+
+      shuffle 1 (by hash(id)):   pair halves + payload rows co-group;
+          each half row picks up its doc's payload (list gather);
+      shuffle 2 (by hash(a,b)):  the two halves of each pair co-group;
+          ``verify_fn(pair_table)`` computes the verdict vectorized.
+
+    ``pairs_ds``   schema: (doc_a:int64, doc_b:int64), already distinct.
+    ``payload_ds`` schema: (id_col, payload_col) — one row per doc.
+    ``verify_fn``  gets a Table (doc_a, doc_b, side:int8, payload) sorted
+    by (doc_a, doc_b, side) with exactly 2 rows per pair and returns the
+    output Table.
+
+    Scale note: shuffle 1 moves the payload stream once (linear, like any
+    groupby); size ``n_buckets`` so corpus_bytes / n_buckets fits a task.
+    """
+    import ray.data  # noqa: F401  (Dataset ops)
+
+    if payload_type is None:
+        payload_type = pa.list_(pa.uint64())
+
+    def halves(t: pa.Table) -> pa.Table:
+        a = t["doc_a"]
+        b = t["doc_b"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        n = len(t)
+        jkey = pa.concat_arrays([a, b])
+        return pa.table(
+            {
+                "jkey": jkey,
+                "doc_a": pa.concat_arrays([a, a]),
+                "doc_b": pa.concat_arrays([b, b]),
+                "payload": pa.nulls(2 * n, payload_type),
+            }
+        )
+
+    def payload_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = len(t)
+        return pa.table(
+            {
+                "jkey": pc.cast(ids, pa.int64()),
+                "doc_a": pa.nulls(n, pa.int64()),
+                "doc_b": pa.nulls(n, pa.int64()),
+                "payload": t[payload_col],
+            }
+        )
+
+    tagged = pairs_ds.map_batches(halves, batch_format="pyarrow").union(
+        payload_ds.map_batches(payload_rows, batch_format="pyarrow")
+    )
+
+    def add_bucket1(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", pa.array(composite_bucket(t, ["jkey"], n_buckets))
+        )
+
+    def attach_payload(t: pa.Table) -> pa.Table:
+        """Per bucket: gather each half row's payload by jkey."""
+        is_half = pc.is_valid(t["doc_a"]).to_numpy(zero_copy_only=False)
+        half = t.filter(pa.array(is_half))
+        pay = t.filter(pa.array(~is_half))
+        if len(half) == 0 or len(pay) == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "payload": pa.array([], payload_type),
+                }
+            )
+        pay_ids = pay["jkey"].to_numpy(zero_copy_only=False)
+        p_order = np.argsort(pay_ids, kind="stable")
+        pay_sorted = pay_ids[p_order]
+        hk = half["jkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pay_sorted, hk)
+        found = (pos < len(pay_sorted)) & (pay_sorted[np.minimum(pos, len(pay_sorted) - 1)] == hk)
+        half = half.filter(pa.array(found))
+        idx = p_order[pos[found]]
+        payload_col_arr = pay["payload"]
+        if isinstance(payload_col_arr, pa.ChunkedArray):
+            payload_col_arr = payload_col_arr.combine_chunks()
+        gathered = payload_col_arr.take(pa.array(idx))
+        a = half["doc_a"].to_numpy(zero_copy_only=False)
+        side = (half["jkey"].to_numpy(zero_copy_only=False) != a).astype(np.int8)
+        return pa.table(
+            {
+                "doc_a": half["doc_a"],
+                "doc_b": half["doc_b"],
+                "side": pa.array(side),
+                "payload": gathered,
+            }
+        )
+
+    attached = (
+        tagged.map_batches(add_bucket1, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda t: attach_payload(t.drop_columns(["_bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def add_bucket2(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", pa.array(composite_bucket(t, ["doc_a", "doc_b"], n_buckets))
+        )
+
+    def verify_group(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_bucket"])
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("doc_a", "ascending"),
+                ("doc_b", "ascending"),
+                ("side", "ascending"),
+            ],
+        )
+        return verify_fn(t.take(idx))
+
+    return (
+        attached.map_batches(add_bucket2, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(verify_group, batch_format="pyarrow")
+    )
+
+
+def _jaccard_verify(threshold: float):
+    """verify_fn for :func:`pair_payload_join`: exact Jaccard of the two
+    sorted-unique shingle lists per pair, fully vectorized (intersection
+    via duplicate counting over the concatenated values)."""
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        newpair = np.ones(len(t), dtype=bool)
+        newpair[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        pair_id = np.cumsum(newpair) - 1
+        n_pairs = int(pair_id[-1]) + 1
+        # a well-formed pair has exactly rows (side=0, side=1)
+        cnt = np.bincount(pair_id, minlength=n_pairs)
+        complete = cnt == 2
+        sh = t["payload"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        flat = sh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        off = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        rowlen = np.diff(off)
+        vp = np.repeat(pair_id, rowlen)
+        order = np.lexsort((flat, vp))
+        fv, pv = flat[order], vp[order]
+        dup = np.zeros(len(fv), dtype=bool)
+        if len(fv) > 1:
+            dup[1:] = (pv[1:] == pv[:-1]) & (fv[1:] == fv[:-1])
+        inter = np.bincount(pv[dup], minlength=n_pairs) if dup.any() else np.zeros(
+            n_pairs, dtype=np.int64
+        )
+        total = np.bincount(pair_id, weights=rowlen, minlength=n_pairs).astype(np.int64)
+        union = total - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        j = np.round(j, 6)
+        keep = complete & (j >= threshold)
+        first_of_pair = np.nonzero(newpair)[0]
+        return pa.table(
+            {
+                "doc_a": pa.array(a[first_of_pair][keep].astype(np.int64)),
+                "doc_b": pa.array(b[first_of_pair][keep].astype(np.int64)),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return verify
+
+
 def minhash_lsh_pairs(
     ds,
     threshold: float = 0.8,
@@ -166,42 +471,45 @@ def minhash_lsh_pairs(
 ):
     """Near-dup pairs by MinHash banding, verified with exact Jaccard.
 
-    Stages (each a bucket shuffle away from the next):
+    Stages (each a bucket shuffle away from the next; nothing returns to
+    the driver):
       1. map_batches: text -> shingle set -> k-minhash signature ->
-         ``bands`` band keys (hash of r=k/bands rows) + the shingle set
-         (kept as list<uint64> for the verify step);
+         ``bands`` band keys (hash of r=k/bands rows) — (band, key, id)
+         rows ONLY (no payload through the banding shuffle);
       2. shuffle on (band, band_key) bucket; within a bucket, group rows
-         by band key -> candidate (a, b) pairs;
-      3. verify: exact Jaccard of the shingle sets, emit pairs >= t.
+         by band key -> candidate (a, b) pairs; distinct-ify via a small
+         bucket aggregate (a pair can surface from several bands);
+      3. verify: bucket join of the pair stream against the (doc ->
+         shingles) stream (:func:`pair_payload_join`), exact Jaccard per
+         pair vectorized, emit pairs >= t.
 
     With r=k/bands rows per band, P[candidate | J=t] = 1-(1-t^r)^bands —
     at k=64, bands=16 (r=4), J=0.8: ~0.9997; misses are possible in
     principle (documented LSH semantics) but vanish for the near-identical
     duplicates this detects.  Verification makes precision exact.
+
+    The shingle stream is recomputed from text for the verify join (a
+    second linear pass) rather than materialized — at 100 TB an epoch-
+    scoped cache would trade object-store space for that pass.
     """
     assert k % bands == 0
     r = k // bands
 
-    # stage 1: band rows carry ONLY (band, band_key, id) — carrying the
-    # shingle sets here multiplied shuffle volume by ``bands`` (measured
-    # 11s -> ~2s at 500 docs after this split).
     def sig_stage(t: pa.Table) -> pa.Table:
-        sh = shingle_hashes(t[text_col], w)
-        ids = t[id_col].to_pylist()
-        n = len(ids)
-        band_arr = np.tile(np.arange(bands, dtype=np.int64), n)
-        key_arr = np.empty(n * bands, dtype=np.int64)
-        for i, s in enumerate(sh):
-            sig = minhash_signature(s, k)
-            chunks = fnv1a64_numpy(sig).reshape(bands, r).sum(axis=1)
-            key_arr[i * bands : (i + 1) * bands] = (
-                chunks & np.uint64(0x7FFFFFFFFFFFFFFF)
-            ).astype(np.int64)
+        off, vals = shingle_hash_flat(t[text_col], w)
+        n = len(t)
+        sig = minhash_signatures_batch(off, vals, k)  # (n, k)
+        keyed = fnv1a64_numpy(sig.ravel()).reshape(n, bands, r).sum(axis=2)
+        key_arr = (keyed.ravel() & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "band": pa.array(band_arr),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
                 "band_key": pa.array(key_arr),
-                id_col: pa.array(np.repeat(np.asarray(ids, dtype=np.int64), bands)),
+                id_col: pa.array(np.repeat(ids_np, bands)),
             }
         )
 
@@ -215,7 +523,6 @@ def minhash_lsh_pairs(
             "_bucket", pa.array((mix % np.uint64(n_buckets)).astype(np.int64))
         )
 
-    # stage 2: per-bucket candidate pairs (ids only)
     def pairs_bucket(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -226,97 +533,48 @@ def minhash_lsh_pairs(
             {
                 "doc_a": pa.array(cand[:, 0].astype(np.int64)),
                 "doc_b": pa.array(cand[:, 1].astype(np.int64)),
+                "_one": pa.array(np.ones(len(cand), dtype=np.int64)),
             }
         )
 
     cand = (
         sigs.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(pairs_bucket, batch_format="pyarrow")
+        .map_groups(
+            lambda t: pairs_bucket(t.drop_columns(["_bucket"])),
+            batch_format="pyarrow",
+        )
     )
-
-    # stage 3: shingle sets for CANDIDATE docs only (bounded by the dup
-    # rate + banding false positives), broadcast once for the verify map.
-    # At corpus scale swap this broadcast for a bucket join of the pair
-    # stream against a (doc -> shingles) stream.
-    import ray
-    import ray.data
-
-    _parts = [b for b in cand.iter_batches(batch_format="pyarrow") if len(b)]
-    if _parts:
-        raw = pa.concat_tables(_parts)
-        uniq = np.unique(
-            np.stack(
-                [
-                    raw["doc_a"].to_numpy(zero_copy_only=False),
-                    raw["doc_b"].to_numpy(zero_copy_only=False),
-                ],
-                axis=1,
-            ),
-            axis=0,
-        )
-        cand_t = pa.table(
-            {"doc_a": pa.array(uniq[:, 0]), "doc_b": pa.array(uniq[:, 1])}
-        )
-    else:
-        cand_t = pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-        )
-    needed = set(cand_t["doc_a"].to_pylist()) | set(cand_t["doc_b"].to_pylist())
-    needed_ref = ray.put(needed)
+    # a pair can be produced by several bands -> distinct-ify distributedly
+    cand = hash_agg(
+        cand, ("doc_a", "doc_b"), [("_one", "count", "_n")], n_buckets=16
+    ).select_columns(["doc_a", "doc_b"])
 
     def shingle_stage(t: pa.Table) -> pa.Table:
-        want = ray.get(needed_ref)
-        ids = t[id_col].to_pylist()
-        mask = np.asarray([i in want for i in ids])
-        if not mask.any():
-            return pa.table(
-                {id_col: pa.array([], pa.int64()), "shingles": pa.array([], pa.list_(pa.uint64()))}
-            )
-        sub = t.filter(pa.array(mask))
-        sh = shingle_hashes(sub[text_col], w)
+        off, vals = shingle_hash_flat(t[text_col], w)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         return pa.table(
             {
-                id_col: sub[id_col],
-                "shingles": pa.array([s.tolist() for s in sh], pa.list_(pa.uint64())),
+                id_col: pc.cast(ids, pa.int64()),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(off.astype(np.int32), type=pa.int32()),
+                    pa.array(vals, type=pa.uint64()),
+                ),
             }
         )
 
-    sh_parts = [
-        b
-        for b in ds.map_batches(shingle_stage, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        )
-        if len(b)
-    ]
-    sh_by_id: dict[int, np.ndarray] = {}
-    for t in sh_parts:
-        for i, d in enumerate(t[id_col].to_pylist()):
-            sh_by_id[d] = np.asarray(t["shingles"][i].as_py(), dtype=np.uint64)
-    sh_ref = ray.put(sh_by_id)
-
-    # stage 4: verify candidates against the broadcast shingle lookup
-    def verify(t: pa.Table) -> pa.Table:
-        lut = ray.get(sh_ref)
-        out_a, out_b, out_j = [], [], []
-        for a, b_ in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            sa, sb = lut[a], lut[b_]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 1.0
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b_)
-                out_j.append(round(j, 6))
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
-            }
-        )
-
-    return ray.data.from_arrow(cand_t).map_batches(verify, batch_format="pyarrow")
+    shingle_ds = ds.map_batches(shingle_stage, batch_format="pyarrow")
+    return pair_payload_join(
+        cand,
+        shingle_ds,
+        _jaccard_verify(threshold),
+        id_col=id_col,
+        payload_col="shingles",
+        payload_type=pa.list_(pa.uint64()),
+        n_buckets=n_buckets,
+    )
 
 
 def simhash_pairs(
@@ -331,25 +589,26 @@ def simhash_pairs(
     64-bit fingerprints; by pigeonhole, any pair within Hamming distance
     <= 3 agrees exactly on at least one of 4 16-bit blocks, so blocking on
     each quarter has recall 1.0 (unlike minhash banding) — then verify the
-    true distance.  Scales: shuffle key is (block_idx, block_value)."""
+    true distance.  Scales: shuffle key is (block_idx, block_value);
+    fingerprints and blocks computed fully vectorized per batch."""
 
     def fp_stage(t: pa.Table) -> pa.Table:
-        sh = shingle_hashes(t[text_col], w)
-        ids = t[id_col].to_pylist()
-        fps = [simhash64(s) for s in sh]
-        rows = {"block": [], "block_val": [], id_col: [], "fp": []}
-        for d, fp in zip(ids, fps):
-            for blk in range(4):
-                rows["block"].append(blk)
-                rows["block_val"].append((fp >> (16 * blk)) & 0xFFFF)
-                rows[id_col].append(d)
-                rows["fp"].append(fp)
+        off, vals = shingle_hash_flat(t[text_col], w)
+        fps = simhash64_batch(off, vals)  # (n,) uint64
+        n = len(t)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        block = np.tile(np.arange(4, dtype=np.uint64), n)
+        fp_rep = np.repeat(fps, 4)
+        block_val = (fp_rep >> (np.uint64(16) * block)) & np.uint64(0xFFFF)
         return pa.table(
             {
-                "block": pa.array(rows["block"], pa.int32()),
-                "block_val": pa.array(rows["block_val"], pa.int32()),
-                id_col: pa.array(rows[id_col], pa.int64()),
-                "fp": pa.array(np.array(rows["fp"], dtype=np.uint64).astype(np.int64)),
+                "block": pa.array(block.astype(np.int32)),
+                "block_val": pa.array(block_val.astype(np.int32)),
+                id_col: pa.array(np.repeat(ids_np, 4)),
+                "fp": pa.array(fp_rep.astype(np.int64)),
             }
         )
 
@@ -367,29 +626,38 @@ def simhash_pairs(
             t["block"].to_numpy(zero_copy_only=False).astype(np.int64) * (1 << 20)
             + t["block_val"].to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        fp_by_id = dict(
-            zip(ids, t["fp"].to_numpy(zero_copy_only=False).astype(np.uint64))
-        )
+        fp_np = t["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # id -> fp lookup (ids repeat across blocks; first occurrence wins)
+        uniq_ids, first_idx = np.unique(ids, return_index=True)
+        uniq_fp = fp_np[first_idx]
         cand = _pairs_from_groups(ids, group)
-        out_a, out_b, out_d = [], [], []
-        for a, b_ in cand:
-            d = int(bin(int(fp_by_id[a]) ^ int(fp_by_id[b_])).count("1"))
-            if d <= max_hamming:
-                out_a.append(int(a))
-                out_b.append(int(b_))
-                out_d.append(d)
+        if len(cand) == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        fa = uniq_fp[np.searchsorted(uniq_ids, cand[:, 0])]
+        fb = uniq_fp[np.searchsorted(uniq_ids, cand[:, 1])]
+        d = _popcount64(fa ^ fb)
+        keep = d <= max_hamming
         return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_d, pa.int64()),
+                "doc_a": pa.array(cand[:, 0][keep].astype(np.int64)),
+                "doc_b": pa.array(cand[:, 1][keep].astype(np.int64)),
+                "hamming": pa.array(d[keep], pa.int64()),
             }
         )
 
     pairs = (
         fps.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(verify_bucket, batch_format="pyarrow")
+        .map_groups(
+            lambda t: verify_bucket(t.drop_columns(["_bucket"])),
+            batch_format="pyarrow",
+        )
     )
     return hash_agg(
         pairs, ("doc_a", "doc_b"), [("hamming", "min", "hamming")], n_buckets=16
