@@ -20,6 +20,17 @@ import os
 import pickle
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so a just-renamed entry survives power loss —
+    without this the data files can be durable while the rename is not,
+    breaking 'checkpoint exists iff meta.json exists'."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _atomic_write(path: str, data: bytes) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -27,6 +38,7 @@ def _atomic_write(path: str, data: bytes) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path) or ".")
 
 
 class CheckpointStore:

@@ -124,10 +124,21 @@ def q_join_details_nested(sf_dir: str):
         det = t["details"]
         if isinstance(det, pa.ChunkedArray):
             det = det.combine_chunks()
-        reprs = [
-            ";".join(f"{d['chunk_idx']}:{d['chunk_n_tok']}" for d in row)
-            for row in det.to_pylist()
-        ]
+        # vectorized "idx:ntok;..." digest: format the flattened structs,
+        # re-wrap with the list offsets, join per row
+        flat = det.flatten()
+        elem = pc.binary_join_element_wise(
+            pc.cast(flat.field("chunk_idx"), pa.string()),
+            pc.cast(flat.field("chunk_n_tok"), pa.string()),
+            ":",
+        )
+        import numpy as np
+
+        off = det.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = (off - off[0]).astype(np.int32)
+        reprs = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off, pa.int32()), elem), ";"
+        )
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -135,7 +146,7 @@ def q_join_details_nested(sf_dir: str):
                 "source": t["source"],
                 "event_seq": t["event_seq"],
                 "n_details": t["n_details"],
-                "details_repr": pa.array(reprs, pa.string()),
+                "details_repr": reprs,
             }
         )
 

@@ -36,6 +36,16 @@ def _fsync_file(path: str) -> None:
         os.close(fd)
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync the parent dir after os.replace — the rename itself must be
+    durable before the manifest may be considered published."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -43,6 +53,7 @@ def _atomic_write_json(path: str, obj: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path) or ".")
 
 
 class ExactlyOnceSink:
@@ -93,6 +104,7 @@ class ExactlyOnceSink:
             pq.write_table(t, tmp)
             _fsync_file(tmp)  # a durable manifest must never reference
             os.replace(tmp, final)  # a part whose data blocks were lost
+            _fsync_dir(parts_dir)
             return pa.table({"part": [name], "rows": [len(t)]})
 
         written = (
@@ -139,11 +151,13 @@ class ExactlyOnceSink:
         with open(self._manifest_path(epoch)) as f:
             return json.load(f)
 
-    def committed_files(self) -> list[str]:
-        # the newest compaction manifest absorbs every epoch manifest
-        # <= its compacted_through; interrupted cleanup leaves stale
-        # absorbed manifests + older compactions, both skipped here
-        files = []
+    def committed_parts(self) -> list[dict]:
+        """Manifest-listed parts with row counts, compaction-aware.
+
+        The newest compaction manifest absorbs every epoch manifest
+        <= its compacted_through; interrupted cleanup leaves stale
+        absorbed manifests + older compactions, both skipped here."""
+        parts = []
         compacted_through = -1
         compacts = self.compaction_manifests()
         if compacts:
@@ -151,14 +165,15 @@ class ExactlyOnceSink:
             with open(self._compact_manifest_path(newest)) as f:
                 cm = json.load(f)
             compacted_through = cm["compacted_through"]
-            for p in cm["parts"]:
-                files.append(os.path.join(self.parts_dir, p["part"]))
+            parts.extend(cm["parts"])
         for e in self.committed_epochs():
             if e <= compacted_through:
                 continue
-            for p in self.manifest(e)["parts"]:
-                files.append(os.path.join(self.parts_dir, p["part"]))
-        return files
+            parts.extend(self.manifest(e)["parts"])
+        return parts
+
+    def committed_files(self) -> list[str]:
+        return [os.path.join(self.parts_dir, p["part"]) for p in self.committed_parts()]
 
     def read_committed(self):
         """Dataset over manifest-listed parts only (never directory globs)."""
@@ -187,10 +202,35 @@ def read_committed_ordered(sink: "ExactlyOnceSink", order_cols: list[str]):
 # ------------------------------------------------------------- compaction
 
 
+def _compact_group_files(paths: list[str], parts_dir: str, name: str) -> dict:
+    """Rewrite one group of part files into one part, row-group at a time
+    (peak memory = one row group, never the dataset)."""
+    final = os.path.join(parts_dir, name)
+    tmp = final + ".tmp"
+    schema = pq.read_schema(paths[0])
+    rows = 0
+    with pq.ParquetWriter(tmp, schema) as writer:
+        for p in paths:
+            pf = pq.ParquetFile(p)
+            for rg in range(pf.num_row_groups):
+                t = pf.read_row_group(rg)
+                writer.write_table(t)
+                rows += len(t)
+    _fsync_file(tmp)
+    os.replace(tmp, final)
+    _fsync_dir(parts_dir)
+    return {"part": name, "rows": rows}
+
+
 def compact(sink: "ExactlyOnceSink", target_rows_per_part: int = 1_000_000) -> dict:
     """Rewrite all committed epochs into few large parts (the small-files
     problem: one part per sink partition per epoch means thousands of
     epochs leave thousands of tiny files).
+
+    DISTRIBUTED: part files are greedily packed into row-count-bounded
+    groups from manifest metadata only; each group is rewritten by one
+    Ray task streaming row groups through a ParquetWriter — no process
+    (driver included) ever holds more than one row group of data.
 
     Exactly-once discipline is preserved: compacted parts are written to
     temp names + atomic rename, then ONE compaction manifest (next epoch
@@ -199,33 +239,43 @@ def compact(sink: "ExactlyOnceSink", target_rows_per_part: int = 1_000_000) -> d
     mid-compaction leaves the old manifests authoritative.  Absorbed
     part files are deleted only AFTER the manifest flips (lazy cleanup —
     orphans are harmless because readers never glob)."""
+    import ray
+
     epochs = sink.committed_epochs()
     if not epochs:
         return {"compacted_through": None, "parts": []}
-    absorbed_files = sink.committed_files()
+    absorbed = sink.committed_parts()
+    absorbed_files = [os.path.join(sink.parts_dir, p["part"]) for p in absorbed]
     prev_compacts = sink.compaction_manifests()
-    table = sink.read_committed_table()
     last = epochs[-1]
     # compaction manifests live in their OWN namespace (manifest-cNNNNN /
     # part-cNNNNN-*): a resumed runner's next commit_epoch(last+1) must
     # never overwrite the compaction and orphan the absorbed data
     comp_idx = (max(prev_compacts) + 1) if prev_compacts else 0
-    parts = []
-    n = len(table)
-    n_parts = max(1, -(-n // target_rows_per_part))
-    for i in range(n_parts):
-        part_tbl = table.slice(i * target_rows_per_part, target_rows_per_part)
-        name = f"part-c{comp_idx:05d}-{i:04d}.parquet"
-        final = os.path.join(sink.parts_dir, name)
-        tmp = final + ".tmp"
-        pq.write_table(part_tbl, tmp)
-        _fsync_file(tmp)
-        os.replace(tmp, final)
-        parts.append({"part": name, "rows": len(part_tbl)})
+    # greedy metadata-only packing into ~target_rows_per_part groups
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_rows = 0
+    for p in absorbed:
+        f = os.path.join(sink.parts_dir, p["part"])
+        if cur and cur_rows + int(p["rows"]) > target_rows_per_part:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(f)
+        cur_rows += int(p["rows"])
+    if cur:
+        groups.append(cur)
+    task = ray.remote(_compact_group_files)
+    parts = ray.get(
+        [
+            task.remote(g, sink.parts_dir, f"part-c{comp_idx:05d}-{i:04d}.parquet")
+            for i, g in enumerate(groups)
+        ]
+    )
     manifest = {
         "compaction": comp_idx,
         "parts": parts,
-        "rows": int(n),
+        "rows": int(sum(p["rows"] for p in parts)),
         "compacted_through": last,
     }
     _atomic_write_json(sink._compact_manifest_path(comp_idx), manifest)

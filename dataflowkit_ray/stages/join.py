@@ -80,14 +80,22 @@ def explode_chunks(chunk_size: int = 16):
     return fn
 
 
-def cogroup_join_structs(parent_ds, child_ds, key: str = "doc_id"):
-    """Nested-embed join via cogroup: tagged union + one groupby shuffle.
+def cogroup_join_structs(parent_ds, child_ds, key: str = "doc_id", n_buckets: int = 64):
+    """Nested-embed join via cogroup: tagged union + ONE bucket shuffle.
 
     Acero's hash join cannot carry ``list<struct>`` payload columns, so the
     nested output path co-groups both streams instead — the direct analog
     of the reference's merge-at-encode (``storageResultReader.Read``
     recursively fetching child rows by FK and embedding them,
     ``/root/reference/scrape/encoders.go:207-241``).
+
+    Scale shape: the shuffle key is ``hash(doc_id) % n_buckets`` (a small
+    int), NOT the raw doc_id whose cardinality is the stream size; each
+    bucket folds EVERY key it holds in one vectorized pass (dictionary
+    codes + bincount + one ListArray assembly) — no per-group Python.
+
+    Contract: parent keys are unique per stream (asserted) — same as the
+    streaming ``JoinStateShard`` build side.
 
     Output per parent row: parent columns (minus ``tokens``) +
     ``n_details:int64`` + ``details: list<struct<chunk_idx:int32,
@@ -128,7 +136,14 @@ def cogroup_join_structs(parent_ds, child_ds, key: str = "doc_id"):
         child_ds.map_batches(tag_child, batch_format="pyarrow")
     )
 
-    def fold(t: pa.Table) -> pa.Table:
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from dataflowkit_ray.stages.windows import bucket_of
+
+        return t.append_column("_bucket", pa.array(bucket_of(t[key], n_buckets)))
+
+    def fold_bucket(t: pa.Table) -> pa.Table:
+        """Fold EVERY key of the bucket in one vectorized pass."""
+        t = t.drop_columns(["_bucket"])
         side = t["side"].to_numpy(zero_copy_only=False)
         parents = t.filter(pa.array(side == 0))
         children = t.filter(pa.array(side == 1))
@@ -145,21 +160,56 @@ def cogroup_join_structs(parent_ds, child_ds, key: str = "doc_id"):
                 ),
             )
             return pa.table(out)
-        order = pc.sort_indices(children, sort_keys=[("chunk_idx", "ascending")])
-        children = children.take(order)
+        pk = parents[key]
+        if isinstance(pk, pa.ChunkedArray):
+            pk = pk.combine_chunks()
+        ck = children[key]
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        comb = pa.concat_arrays([pk, ck]).dictionary_encode()
+        codes = comb.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        P = len(pk)
+        p_codes, c_codes = codes[:P], codes[P:]
+        n_codes = len(comb.dictionary)
+        if len(np.unique(p_codes)) != P:
+            raise ValueError(
+                f"cogroup_join_structs: duplicate parent {key} in stream "
+                "(contract: unique parent keys, as for JoinStateShard)"
+            )
+        child_count = np.bincount(c_codes, minlength=n_codes)
+        parent_present = np.zeros(n_codes, dtype=bool)
+        parent_present[p_codes] = True
+        # parents kept (have >= 1 child), ordered by code
+        idx_p = np.nonzero(child_count[p_codes] > 0)[0]
+        idx_p = idx_p[np.argsort(p_codes[idx_p], kind="stable")]
+        kept_codes = p_codes[idx_p]
+        # children kept (parent exists), ordered by (code, chunk_idx)
+        chunk_idx_np = children["chunk_idx"].to_numpy(zero_copy_only=False)
+        idx_c = np.nonzero(parent_present[c_codes])[0]
+        idx_c = idx_c[np.lexsort((chunk_idx_np[idx_c], c_codes[idx_c]))]
+        children_kept = children.take(pa.array(idx_c))
+        counts_kept = child_count[kept_codes]
+        offsets = np.concatenate(([0], np.cumsum(counts_kept))).astype(np.int32)
         detail_struct = pa.StructArray.from_arrays(
-            [children["chunk_idx"].combine_chunks(), children["chunk_n_tok"].combine_chunks()],
+            [
+                children_kept["chunk_idx"].combine_chunks(),
+                children_kept["chunk_n_tok"].combine_chunks(),
+            ],
             names=["chunk_idx", "chunk_n_tok"],
         )
         details = pa.ListArray.from_arrays(
-            pa.array([0, len(children)], type=pa.int32()), detail_struct
+            pa.array(offsets, type=pa.int32()), detail_struct
         )
-        out = parents.select([c for c in parent_cols])
-        out = out.append_column("n_details", pa.array([len(children)] * len(parents), type=pa.int64()))
-        out = out.append_column("details", pa.concat_arrays([details] * len(parents)) if len(parents) > 1 else details)
+        out = parents.take(pa.array(idx_p)).select(parent_cols)
+        out = out.append_column("n_details", pa.array(counts_kept.astype(np.int64)))
+        out = out.append_column("details", details)
         return out
 
-    return tagged.groupby(key).map_groups(fold, batch_format="pyarrow")
+    return (
+        tagged.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+    )
 
 
 def join_details(

@@ -33,6 +33,11 @@ class SessionStateShard:
         self.open: dict[int | str, list[int]] = {}
         self.pending: list[tuple[int | str, int, int, int]] = []  # closed, unemitted
         self.last_applied: int = -1  # epochs strictly increase; scalar guard
+        # out-of-order events are DROPPED and counted (mirroring
+        # WindowStateShard.late_rows) — raising here would wedge the
+        # runner in a crash-loop on resume (the restored state replays
+        # the same batch and re-raises)
+        self.ooo_dropped: int = 0
 
     def merge(self, epoch: int, blob: bytes) -> None:
         if epoch <= self.last_applied:
@@ -52,10 +57,8 @@ class SessionStateShard:
                 if st is None:
                     st = [c, c, 0]
                 elif c < st[1]:
-                    raise ValueError(
-                        f"out-of-order event for key {k!r}: {c} < {st[1]} "
-                        "(session store requires per-key clock order)"
-                    )
+                    self.ooo_dropped += 1
+                    continue
                 elif c - st[1] > self.gap:
                     self.pending.append((k, st[0], st[1], st[2]))
                     st = [c, c, 0]
@@ -91,6 +94,7 @@ class SessionStateShard:
             "open": {k: list(v) for k, v in self.open.items()},
             "pending": list(self.pending),
             "last_applied": self.last_applied,
+            "ooo_dropped": self.ooo_dropped,
         }
 
     def restore(self, snap: dict) -> None:
@@ -98,9 +102,14 @@ class SessionStateShard:
         self.open = {k: list(v) for k, v in snap["open"].items()}
         self.pending = [tuple(p) for p in snap["pending"]]
         self.last_applied = snap["last_applied"]
+        self.ooo_dropped = snap.get("ooo_dropped", 0)
 
     def stats(self) -> dict:
-        return {"open_sessions": len(self.open), "pending": len(self.pending)}
+        return {
+            "open_sessions": len(self.open),
+            "pending": len(self.pending),
+            "ooo_dropped": self.ooo_dropped,
+        }
 
 
 @ray.remote

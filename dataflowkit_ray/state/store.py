@@ -162,84 +162,187 @@ class JoinStateShard:
     buffered join immediately and are emitted; the rest are buffered with
     the current epoch as birth.  ``expire(epoch, ttl)`` drops buffers older
     than ``ttl`` epochs (the reference's item TTL,
-    ``/root/reference/storage/diskv.go:49-81``, in epoch units)."""
+    ``/root/reference/storage/diskv.go:49-81``, in epoch units).
+
+    Buffers are COLUMNAR: arriving Arrow batches are kept whole; the
+    per-key index maps doc_id -> (table_idx, row_idx) and joins gather
+    matched rows with one vectorized ``take`` per call — no per-row IPC
+    blobs, no per-row schema overhead.
+
+    Key semantics: left keys are unique (keep-first; duplicates counted
+    in ``dup_lefts`` — the batch path asserts the same contract); rights
+    may repeat and are consumed on match.  The LEFT side is the build
+    side: a left row is retained until TTL so rights keep joining no
+    matter when they arrive."""
 
     def __init__(self):
-        self.left: dict[str, tuple[int, bytes]] = {}  # doc_id -> (epoch, row blob)
-        self.right: dict[str, list[tuple[int, bytes]]] = {}
+        self.left_tabs: list[pa.Table] = []
+        self.left_epochs: list[np.ndarray] = []
+        self.left_idx: dict = {}  # doc -> (ti, ri)
+        self.right_tabs: list[pa.Table] = []
+        self.right_epochs: list[np.ndarray] = []
+        self.right_idx: dict = {}  # doc -> [(epoch, ti, ri)]
+        self.dup_lefts = 0
         self.expired_rows = 0
 
-    def probe_and_buffer(self, epoch: int, side: str, blob: bytes) -> bytes:
-        """Returns joined rows (left row columns + right row columns).
+    @staticmethod
+    def _gather(tabs: list[pa.Table], locs: list[tuple[int, int]]) -> pa.Table:
+        bases = np.cumsum([0] + [len(t) for t in tabs])
+        cat = pa.concat_tables(tabs)
+        idx = pa.array([bases[ti] + ri for ti, ri in locs], pa.int64())
+        return cat.take(idx)
 
-        The LEFT side is the build side: a left row is ALWAYS retained
-        (until TTL) so rights for the same key keep joining no matter
-        when they arrive — arrival order must not change the join result
-        (a left that only popped buffered rights would silently drop any
-        right arriving after it).  Rights are consumed on match."""
+    @staticmethod
+    def _hjoin(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        cols = dict(zip(lt.column_names, lt.columns))
+        for name, col in zip(rt.column_names, rt.columns):
+            if name not in cols:
+                cols[name] = col
+        return pa.table(cols)
+
+    def probe_and_buffer(self, epoch: int, side: str, blob: bytes) -> bytes:
         t = bytes_to_table(blob)
-        out: list[pa.Table] = []
+        docs = t["doc_id"].to_pylist()
         if side == "left":
-            for i, doc in enumerate(t["doc_id"].to_pylist()):
-                row = table_to_bytes(t.slice(i, 1))
-                self.left[doc] = (epoch, row)
-                rights = self.right.pop(doc, None)
+            keep = [i for i, d in enumerate(docs) if d not in self.left_idx]
+            self.dup_lefts += len(docs) - len(keep)
+            if len(keep) < len(docs):
+                t = t.take(pa.array(keep, pa.int64()))
+                docs = [docs[i] for i in keep]
+            ti = len(self.left_tabs)
+            self.left_tabs.append(t)
+            self.left_epochs.append(np.full(len(t), epoch, dtype=np.int64))
+            l_locs: list[tuple[int, int]] = []
+            r_locs: list[tuple[int, int]] = []
+            for i, d in enumerate(docs):
+                self.left_idx[d] = (ti, i)
+                rights = self.right_idx.pop(d, None)
                 if rights:
-                    for _, rb in rights:
-                        out.append(_join_rows(row, rb))
-        else:
-            for i, doc in enumerate(t["doc_id"].to_pylist()):
-                row = table_to_bytes(t.slice(i, 1))
-                l = self.left.get(doc)
-                if l is not None:
-                    out.append(_join_rows(l[1], row))
-                else:
-                    self.right.setdefault(doc, []).append((epoch, row))
-        if not out:
+                    for _, rti, rri in rights:
+                        l_locs.append((ti, i))
+                        r_locs.append((rti, rri))
+            if not l_locs:
+                return b""
+            joined = self._hjoin(
+                self._gather(self.left_tabs, l_locs),
+                self._gather(self.right_tabs, r_locs),
+            )
+            return table_to_bytes(joined)
+        # right side: probe the left index; unmatched rows buffer
+        matched_i: list[int] = []
+        l_locs = []
+        unmatched_i: list[int] = []
+        for i, d in enumerate(docs):
+            loc = self.left_idx.get(d)
+            if loc is not None:
+                matched_i.append(i)
+                l_locs.append(loc)
+            else:
+                unmatched_i.append(i)
+        if unmatched_i:
+            sub = t.take(pa.array(unmatched_i, pa.int64()))
+            ti = len(self.right_tabs)
+            self.right_tabs.append(sub)
+            self.right_epochs.append(np.full(len(sub), epoch, dtype=np.int64))
+            for pos, i in enumerate(unmatched_i):
+                self.right_idx.setdefault(docs[i], []).append((epoch, ti, pos))
+        if not matched_i:
             return b""
-        return table_to_bytes(pa.concat_tables(out))
+        rt = t.take(pa.array(matched_i, pa.int64()))
+        lt = self._gather(self.left_tabs, l_locs)
+        return table_to_bytes(self._hjoin(lt, rt))
+
+    def _compact(self, min_epoch: int) -> int:
+        """Rebuild both sides keeping only live, unexpired rows; returns
+        rows dropped by TTL (consumed rights are garbage, not 'expired')."""
+        dropped = 0
+        # left
+        live = [
+            (d, ti, ri)
+            for d, (ti, ri) in self.left_idx.items()
+        ]
+        kept = [
+            (d, ti, ri)
+            for d, ti, ri in live
+            if self.left_epochs[ti][ri] >= min_epoch
+        ]
+        dropped += len(live) - len(kept)
+        if self.left_tabs:
+            locs = [(ti, ri) for _, ti, ri in kept]
+            eps = np.array(
+                [self.left_epochs[ti][ri] for ti, ri in locs], dtype=np.int64
+            )
+            new_t = self._gather(self.left_tabs, locs) if locs else None
+            self.left_tabs = [new_t] if new_t is not None and len(new_t) else []
+            self.left_epochs = [eps] if len(eps) else []
+            self.left_idx = {d: (0, i) for i, (d, _, _) in enumerate(kept)}
+        # right
+        live_r = [
+            (d, e, ti, ri)
+            for d, lst in self.right_idx.items()
+            for (e, ti, ri) in lst
+        ]
+        kept_r = [(d, e, ti, ri) for d, e, ti, ri in live_r if e >= min_epoch]
+        dropped += len(live_r) - len(kept_r)
+        if self.right_tabs:
+            locs_r = [(ti, ri) for _, _, ti, ri in kept_r]
+            new_rt = self._gather(self.right_tabs, locs_r) if locs_r else None
+            self.right_tabs = [new_rt] if new_rt is not None and len(new_rt) else []
+            self.right_epochs = (
+                [np.array([e for _, e, _, _ in kept_r], dtype=np.int64)]
+                if kept_r
+                else []
+            )
+            self.right_idx = {}
+            for i, (d, e, _, _) in enumerate(kept_r):
+                self.right_idx.setdefault(d, []).append((e, 0, i))
+        return dropped
 
     def expire(self, epoch: int, ttl: int) -> int:
         """Drop buffers older than ttl epochs; ``expired_rows`` counts
-        ROWS dropped (incl. rows expired out of partially-kept lists)."""
-        drop_l = [k for k, (e, _) in self.left.items() if epoch - e > ttl]
-        for k in drop_l:
-            del self.left[k]
-        dropped_r = 0
-        empty_keys = []
-        for k, lst in self.right.items():
-            keep = [(e, b) for e, b in lst if epoch - e <= ttl]
-            dropped_r += len(lst) - len(keep)
-            if keep:
-                self.right[k] = keep
-            else:
-                empty_keys.append(k)
-        for k in empty_keys:
-            del self.right[k]
-        self.expired_rows += len(drop_l) + dropped_r
+        ROWS dropped.  Also compacts consumed-right garbage."""
+        self.expired_rows += self._compact(epoch - ttl)
         return self.expired_rows
 
     def snapshot(self) -> dict:
+        self._compact(-(1 << 62))  # drop consumed garbage, nothing by TTL
         return {
-            "left": dict(self.left),
-            "right": {k: list(v) for k, v in self.right.items()},
+            "left": table_to_bytes(self.left_tabs[0]) if self.left_tabs else None,
+            "left_epochs": self.left_epochs[0].tolist() if self.left_epochs else [],
+            "right": table_to_bytes(self.right_tabs[0]) if self.right_tabs else None,
+            "right_epochs": (
+                self.right_epochs[0].tolist() if self.right_epochs else []
+            ),
+            "dup_lefts": self.dup_lefts,
             "expired_rows": self.expired_rows,
         }
 
     def restore(self, snap: dict) -> None:
-        self.left = dict(snap["left"])
-        self.right = {k: list(v) for k, v in snap["right"].items()}
+        self.__init__()
+        self.dup_lefts = snap.get("dup_lefts", 0)
         self.expired_rows = snap["expired_rows"]
+        if snap["left"] is not None:
+            t = bytes_to_table(snap["left"])
+            self.left_tabs = [t]
+            self.left_epochs = [np.asarray(snap["left_epochs"], dtype=np.int64)]
+            self.left_idx = {
+                d: (0, i) for i, d in enumerate(t["doc_id"].to_pylist())
+            }
+        if snap["right"] is not None:
+            t = bytes_to_table(snap["right"])
+            self.right_tabs = [t]
+            eps = np.asarray(snap["right_epochs"], dtype=np.int64)
+            self.right_epochs = [eps]
+            for i, d in enumerate(t["doc_id"].to_pylist()):
+                self.right_idx.setdefault(d, []).append((int(eps[i]), 0, i))
 
-
-def _join_rows(left_blob: bytes, right_blob: bytes) -> pa.Table:
-    lt = bytes_to_table(left_blob)
-    rt = bytes_to_table(right_blob)
-    cols = dict(zip(lt.column_names, lt.columns))
-    for name, col in zip(rt.column_names, rt.columns):
-        if name not in cols:
-            cols[name] = col
-    return pa.table(cols)
+    def stats(self) -> dict:
+        return {
+            "buffered_left": len(self.left_idx),
+            "buffered_right": sum(len(v) for v in self.right_idx.values()),
+            "dup_lefts": self.dup_lefts,
+            "expired_rows": self.expired_rows,
+        }
 
 
 class ShardedState:

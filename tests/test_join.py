@@ -74,3 +74,39 @@ def test_semi_join_route(sf_dir):
     routed = semi_join_route(ds)
     assert routed.schema().names == ["doc_id"]
     assert routed.count() == 10
+
+
+def test_nested_join_scales_to_many_keys(ray_session):
+    """120k unique parent keys through the nested-embed join in seconds —
+    the bucket-fold path; a per-key python groupby takes minutes here."""
+    import time
+
+    import pyarrow as pa
+    import ray.data
+
+    n = 120_000
+    ids = [str(i) for i in range(n)]
+    parent_t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "n_tok": pa.array([20] * n, pa.int32()),
+        }
+    )
+    child_t = pa.table(
+        {
+            "doc_id": pa.array(ids * 2, pa.string()),
+            "chunk_idx": pa.array([0] * n + [1] * n, pa.int32()),
+            "chunk_n_tok": pa.array([16] * n + [4] * n, pa.int32()),
+        }
+    )
+    parent = ray.data.from_arrow(parent_t).repartition(8)
+    child = ray.data.from_arrow(child_t).repartition(8)
+    t0 = time.time()
+    out = cogroup_join_structs(parent, child)
+    cnt = out.count()
+    elapsed = time.time() - t0
+    assert cnt == n
+    assert elapsed < 60, f"nested join too slow: {elapsed:.1f}s"
+    row = out.take(1)[0]
+    assert row["n_details"] == 2
+    assert [d["chunk_idx"] for d in row["details"]] == [0, 1]
