@@ -25,7 +25,7 @@ from dataflowkit_ray.checkpoint import CheckpointStore
 from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
 from dataflowkit_ray.sources.microbatch import MicroBatchSource
 from dataflowkit_ray.state.session_store import CEPStateShard, SessionStateShard
-from dataflowkit_ray.state.store import bytes_to_table, table_to_bytes
+from dataflowkit_ray.state.store import bytes_to_table
 
 EVENT_TOKENS = {"view": 1, "click": 2, "signup": 3, "purchase": 4, "error": 5}
 
@@ -38,7 +38,7 @@ DEFAULT_EVENT_PATTERN = (
 
 
 def project_events(t: pa.Table) -> pa.Table:
-    """events batch -> (key, clock, token)."""
+    """events batch -> (key, clock, token) [+ chunk_seq when present]."""
     et = t["event_type"]
     if isinstance(et, pa.ChunkedArray):
         et = et.combine_chunks()
@@ -46,13 +46,46 @@ def project_events(t: pa.Table) -> pa.Table:
     uniq = d.dictionary.to_pylist()
     lut = np.asarray([EVENT_TOKENS.get(u, 0) for u in uniq], dtype=np.int64)
     tok = lut[d.indices.to_numpy(zero_copy_only=False)]
-    return pa.table(
-        {
-            "key": pc.cast(t["user_id"], pa.int64()),
-            "clock": pc.cast(t["ts"], pa.int64()),
-            "token": pa.array(tok),
-        }
-    )
+    cols = {
+        "key": pc.cast(t["user_id"], pa.int64()),
+        "clock": pc.cast(t["ts"], pa.int64()),
+        "token": pa.array(tok),
+    }
+    if "chunk_seq" in t.column_names:
+        cols["chunk_seq"] = pc.cast(t["chunk_seq"], pa.int64())
+    return pa.table(cols)
+
+
+def make_stage_router(shard_groups: list[list], n_shards: int, epoch: int):
+    """map_batches fn that routes its batch's rows to shard actors
+    DIRECTLY (the task is the data plane; the driver never holds rows).
+
+    One ``stage`` call per (chunk_seq, shard) — chunk_seq is the
+    deterministic idempotency key, so a retried/re-executed task is
+    harmless.  ``shard_groups`` is a list of actor LISTS: every actor in
+    group i receives shard i's sub-batch (e.g. session + CEP shards).
+    Blocks on the acks so epoch consumption implies delivery."""
+    from dataflowkit_ray.state.store import route_by_key, table_to_bytes
+
+    def route(t: pa.Table) -> pa.Table:
+        refs = []
+        n_rows = len(t)
+        if n_rows:
+            chunk = t["chunk_seq"].to_numpy(zero_copy_only=False)
+            for c in np.unique(chunk):
+                sub = t.filter(pa.array(chunk == c)).drop_columns(["chunk_seq"])
+                for shard_i, ss in enumerate(route_by_key(sub, "key", n_shards)):
+                    if ss is None:
+                        continue
+                    blob = table_to_bytes(ss)
+                    for group in shard_groups:
+                        refs.append(
+                            group[shard_i].stage.remote(epoch, int(c), blob)
+                        )
+        ray.get(refs)
+        return pa.table({"rows": pa.array([n_rows], pa.int64())})
+
+    return route
 
 
 class EventStreamRunner:
@@ -81,11 +114,6 @@ class EventStreamRunner:
         self.session_sink = ExactlyOnceSink(f"{work_dir}/sessions", n_sink_parts=4)
         self.match_sink = ExactlyOnceSink(f"{work_dir}/matches", n_sink_parts=4)
         self.ckpt = CheckpointStore(f"{work_dir}/checkpoint")
-
-    def _route(self, t: pa.Table) -> list[pa.Table | None]:
-        from dataflowkit_ray.state.store import route_by_key
-
-        return route_by_key(t, "key", self.n_shards)
 
     def run(self, max_epochs: int | None = None) -> dict:
         sessions = [SessionStateShard.remote(self.gap) for _ in range(self.n_shards)]
@@ -123,31 +151,21 @@ class EventStreamRunner:
             if max_epochs is not None and ran >= max_epochs:
                 break
             specs, new_offsets = self.source.next_slice(offsets)
+            # data plane: read tasks -> project -> route to shard actors
+            # INSIDE the tasks; the driver sees only 1-row ack summaries
             ds = self.source.read_epoch(specs).map_batches(
                 project_events, batch_format="pyarrow"
             )
-            parts = [b for b in ds.iter_batches(batch_format="pyarrow") if len(b)]
-            epoch_t = (
-                pa.concat_tables(parts)
-                if parts
-                else pa.table(
-                    {
-                        "key": pa.array([], pa.int64()),
-                        "clock": pa.array([], pa.int64()),
-                        "token": pa.array([], pa.int64()),
-                    }
-                )
-            )
-            routed = self._route(epoch_t)
-            merge_refs, feed_refs = [], []
-            for shard_s, shard_c, sub in zip(sessions, ceps, routed):
-                if sub is None:
-                    continue
-                blob = table_to_bytes(sub)
-                merge_refs.append(shard_s.merge.remote(epoch, blob))
-                feed_refs.append(shard_c.feed.remote(epoch, blob))
-            ray.get(merge_refs)
-            match_tables = [bytes_to_table(b) for b in ray.get(feed_refs)]
+            router = make_stage_router([sessions, ceps], self.n_shards, epoch)
+            for _ in ds.map_batches(router, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            ):
+                pass  # acks only (one tiny row per task)
+            ray.get([s.seal.remote(epoch) for s in sessions])
+            match_tables = [
+                bytes_to_table(b)
+                for b in ray.get([c.seal.remote(epoch) for c in ceps])
+            ]
 
             offsets = new_offsets
             wm = self.source.watermark_clock(offsets)

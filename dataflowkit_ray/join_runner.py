@@ -20,7 +20,7 @@ import ray
 from dataflowkit_ray.checkpoint import CheckpointStore
 from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
 from dataflowkit_ray.sources.microbatch import MicroBatchSource
-from dataflowkit_ray.state.store import JoinStateShard, bytes_to_table, table_to_bytes
+from dataflowkit_ray.state.store import JoinStateShard
 from dataflowkit_ray.tokenize import tokenize_documents
 
 
@@ -58,15 +58,39 @@ class StreamJoinRunner:
         self.sink = ExactlyOnceSink(f"{work_dir}/out", n_sink_parts=4)
         self.ckpt = CheckpointStore(f"{work_dir}/checkpoint")
 
-    def _route(self, t: pa.Table) -> list[pa.Table | None]:
-        from dataflowkit_ray.state.store import route_by_key
+    def _route_epoch(self, source, specs, project, shards, epoch, side) -> None:
+        """Data plane: read tasks project and push their rows straight to
+        the join shards (idempotent per (epoch, side, chunk_seq)); the
+        driver consumes only 1-row ack summaries."""
+        import numpy as np
 
-        return route_by_key(t, "doc_id", self.n_shards)
+        from dataflowkit_ray.state.store import route_by_key, table_to_bytes
 
-    def _epoch_table(self, source, specs, project) -> pa.Table:
+        n_shards = self.n_shards
+
+        def route(t: pa.Table) -> pa.Table:
+            refs = []
+            n = len(t)
+            if n:
+                chunk = t["chunk_seq"].to_numpy(zero_copy_only=False)
+                for c in np.unique(chunk):
+                    sub = t.filter(pa.array(chunk == c)).drop_columns(["chunk_seq"])
+                    for i, ss in enumerate(route_by_key(sub, "doc_id", n_shards)):
+                        if ss is None:
+                            continue
+                        refs.append(
+                            shards[i].stage.remote(
+                                epoch, side, int(c), table_to_bytes(ss)
+                            )
+                        )
+            ray.get(refs)
+            return pa.table({"rows": pa.array([n], pa.int64())})
+
         ds = source.read_epoch(specs).map_batches(project, batch_format="pyarrow")
-        parts = [b for b in ds.iter_batches(batch_format="pyarrow") if len(b)]
-        return pa.concat_tables(parts) if parts else None
+        for _ in ds.map_batches(route, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            pass
 
     def run(self, max_epochs: int | None = None) -> dict:
         shards = [JoinStateShard.remote() for _ in range(self.n_shards)]
@@ -90,13 +114,16 @@ class StreamJoinRunner:
 
         def proj_left(t: pa.Table) -> pa.Table:
             tok = tokenize_documents(t)
-            return tok.select(["doc_id", "n_tok", "source"])
+            return tok.select(["doc_id", "n_tok", "source"]).append_column(
+                "chunk_seq", pc.cast(t["chunk_seq"], pa.int64())
+            )
 
         def proj_right(t: pa.Table) -> pa.Table:
             return pa.table(
                 {
                     "doc_id": pc.cast(t["vec_id"], pa.string()),
                     "label": pc.cast(t["label"], pa.int32()),
+                    "chunk_seq": pc.cast(t["chunk_seq"], pa.int64()),
                 }
             )
 
@@ -105,35 +132,34 @@ class StreamJoinRunner:
             if max_epochs is not None and ran >= max_epochs:
                 break
             l_specs, l_new = self.left.next_slice(l_off)
-            lt = self._epoch_table(self.left, l_specs, proj_left) if l_specs else None
+            if l_specs:
+                self._route_epoch(self.left, l_specs, proj_left, shards, epoch, "left")
 
             if epoch >= self.right_lag:
                 r_specs, r_new = self.right.next_slice(r_off)
-                rt = (
-                    self._epoch_table(self.right, r_specs, proj_right)
-                    if r_specs
-                    else None
-                )
+                if r_specs:
+                    self._route_epoch(
+                        self.right, r_specs, proj_right, shards, epoch, "right"
+                    )
             else:
-                r_new, rt = r_off, None
+                r_new = r_off
 
-            # feed left fully first, then right: a pair arriving in the
-            # same epoch joins immediately (right probes the fresh buffer)
-            out_tables: list[pa.Table] = []
-            for side, tbl in (("left", lt), ("right", rt)):
-                if tbl is None:
-                    continue
-                refs = [
-                    shard.probe_and_buffer.remote(epoch, side, table_to_bytes(sub))
-                    for shard, sub in zip(shards, self._route(tbl))
-                    if sub is not None
-                ]
-                for b in ray.get(refs):
-                    if b:
-                        out_tables.append(bytes_to_table(b))
+            # seal: each shard applies its staged epoch (lefts first, so
+            # same-epoch pairs join) and writes its OWN sink part; only
+            # part metadata returns to the driver
+            parts = [
+                p
+                for p in ray.get(
+                    [
+                        s.seal_to_sink.remote(epoch, self.sink.parts_dir, i)
+                        for i, s in enumerate(shards)
+                    ]
+                )
+                if p is not None
+            ]
             ray.get([s.expire.remote(epoch, self.ttl) for s in shards])
 
-            self._commit(epoch, l_new, r_new, shards, out_tables)
+            self._commit(epoch, l_new, r_new, shards, parts)
             l_off, r_off = l_new, r_new
             ran += 1
             epoch += 1
@@ -145,30 +171,9 @@ class StreamJoinRunner:
             ),
         }
 
-    def _commit(self, epoch, l_off, r_off, shards, out_tables):
-        import ray.data
-
-        nonempty = [t for t in out_tables if len(t)]
-        out = (
-            pa.concat_tables(nonempty)
-            if nonempty
-            else pa.table(
-                {
-                    "doc_id": pa.array([], pa.string()),
-                    "n_tok": pa.array([], pa.int32()),
-                    "source": pa.array([], pa.string()),
-                    "label": pa.array([], pa.int32()),
-                }
-            )
-        )
-        if len(out):
-            out = out.take(
-                pc.sort_indices(out, sort_keys=[("doc_id", "ascending")])
-            )
-        self.sink.commit_epoch(
-            ray.data.from_arrow(out),
-            epoch,
-            extra={"left_offsets": l_off, "right_offsets": r_off},
+    def _commit(self, epoch, l_off, r_off, shards, parts):
+        self.sink.publish_epoch(
+            epoch, parts, extra={"left_offsets": l_off, "right_offsets": r_off}
         )
         self.ckpt.write(
             epoch,

@@ -234,7 +234,7 @@ def q_streaming_funnel(sf_dir: str):
     from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
 
     wd = tempfile.mkdtemp(prefix="dfkr_funnel_", dir="/tmp")
-    EventStreamRunner([f"{sf_dir}/events.parquet"], wd).run()
+    EventStreamRunner([f"{sf_dir}/events.parquet"], wd, target_rows=512).run()
     return ExactlyOnceSink(f"{wd}/matches").read_committed()
 
 
@@ -299,7 +299,7 @@ def q_streaming_sessions(sf_dir: str):
     from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
 
     wd = tempfile.mkdtemp(prefix="dfkr_sess_", dir="/tmp")
-    EventStreamRunner([f"{sf_dir}/events.parquet"], wd).run()
+    EventStreamRunner([f"{sf_dir}/events.parquet"], wd, target_rows=512).run()
     ds = ExactlyOnceSink(f"{wd}/sessions").read_committed()
 
     def rename(t: pa.Table) -> pa.Table:

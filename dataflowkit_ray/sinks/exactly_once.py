@@ -56,6 +56,23 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     _fsync_dir(os.path.dirname(path) or ".")
 
 
+def write_sink_part(
+    parts_dir: str, epoch: int, part_idx: int, t: pa.Table
+) -> dict:
+    """Write one deterministic epoch part atomically (idempotent: a
+    replayed epoch rewrites the same name).  Callable from any worker or
+    actor — this is how shard actors sink their own output without the
+    rows ever visiting the driver."""
+    name = f"part-e{epoch:05d}-p{part_idx:04d}.parquet"
+    final = os.path.join(parts_dir, name)
+    tmp = final + ".tmp"
+    pq.write_table(t, tmp)
+    _fsync_file(tmp)
+    os.replace(tmp, final)
+    _fsync_dir(parts_dir)
+    return {"part": name, "rows": len(t)}
+
+
 class ExactlyOnceSink:
     def __init__(self, out_dir: str, n_sink_parts: int = 8):
         self.out_dir = out_dir
@@ -113,13 +130,22 @@ class ExactlyOnceSink:
             .map_groups(write_part, batch_format="pyarrow")
             .take_all()  # tiny: one row per sink part
         )
+        return self.publish_epoch(
+            epoch,
+            [{"part": r["part"], "rows": int(r["rows"])} for r in written],
+            extra=extra,
+        )
+
+    def publish_epoch(
+        self, epoch: int, parts: list[dict], extra: dict | None = None
+    ) -> dict:
+        """Publish the manifest for parts already written (by tasks or by
+        shard actors via :func:`write_sink_part`) — the atomic visibility
+        flip; only manifest METADATA passes through the caller."""
         manifest = {
             "epoch": epoch,
-            "parts": sorted(
-                ({"part": r["part"], "rows": int(r["rows"])} for r in written),
-                key=lambda r: r["part"],
-            ),
-            "rows": int(sum(r["rows"] for r in written)),
+            "parts": sorted(parts, key=lambda r: r["part"]),
+            "rows": int(sum(r["rows"] for r in parts)),
             **(extra or {}),
         }
         _atomic_write_json(self._manifest_path(epoch), manifest)

@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from dataflowkit_ray.state.store import bytes_to_table, table_to_bytes
+from dataflowkit_ray.state.store import StagingBuffer, bytes_to_table, table_to_bytes
 
 
 @ray.remote
@@ -38,12 +38,29 @@ class SessionStateShard:
         # runner in a crash-loop on resume (the restored state replays
         # the same batch and re-raises)
         self.ooo_dropped: int = 0
+        self.staging = StagingBuffer()
+
+    def stage(self, epoch: int, chunk_seq: int, blob: bytes) -> None:
+        """Idempotent (epoch, chunk) staging — the data-plane entry point
+        for map_batches tasks; the driver only calls :meth:`seal`."""
+        self.staging.stage(epoch, chunk_seq, blob, self.last_applied)
+
+    def seal(self, epoch: int) -> None:
+        """Apply every staged chunk of the epoch in chunk order."""
+        t = self.staging.drain(epoch)
+        if epoch <= self.last_applied:
+            return
+        self.last_applied = epoch
+        if t is not None:
+            self._merge_table(t)
 
     def merge(self, epoch: int, blob: bytes) -> None:
         if epoch <= self.last_applied:
             return
         self.last_applied = epoch
-        t = bytes_to_table(blob)
+        self._merge_table(bytes_to_table(blob))
+
+    def _merge_table(self, t: pa.Table) -> None:
         keys = t["key"].to_pylist()
         clocks = t["clock"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((clocks, np.asarray([hash(k) for k in keys])))
@@ -139,22 +156,42 @@ class CEPStateShard:
         )
         self.matchers: dict = {}
         self.last_applied: int = -1
+        self.staging = StagingBuffer()
+
+    def stage(self, epoch: int, chunk_seq: int, blob: bytes) -> None:
+        self.staging.stage(epoch, chunk_seq, blob, self.last_applied)
+
+    def seal(self, epoch: int) -> bytes:
+        """Apply staged chunks in chunk order; returns the completed
+        matches of the epoch (small: bounded by match rate)."""
+        t = self.staging.drain(epoch)
+        if epoch <= self.last_applied:
+            t = None
+        else:
+            self.last_applied = epoch
+        if t is None:
+            return table_to_bytes(self._empty_matches())
+        return table_to_bytes(self._feed_table(t))
+
+    @staticmethod
+    def _empty_matches() -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "start_seq": pa.array([], pa.int64()),
+                "end_seq": pa.array([], pa.int64()),
+            }
+        )
 
     def feed(self, epoch: int, blob: bytes) -> bytes:
+        if epoch <= self.last_applied:
+            return table_to_bytes(self._empty_matches())
+        self.last_applied = epoch
+        return table_to_bytes(self._feed_table(bytes_to_table(blob)))
+
+    def _feed_table(self, t: pa.Table) -> pa.Table:
         from dataflowkit_ray.stages.cep import StreamingMatcher
 
-        if epoch <= self.last_applied:
-            return table_to_bytes(
-                pa.table(
-                    {
-                        "key": pa.array([], pa.int64()),
-                        "start_seq": pa.array([], pa.int64()),
-                        "end_seq": pa.array([], pa.int64()),
-                    }
-                )
-            )
-        self.last_applied = epoch
-        t = bytes_to_table(blob)
         keys = t["key"].to_pylist()
         clocks = t["clock"].to_numpy(zero_copy_only=False).astype(np.int64)
         tokens = t["token"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -174,14 +211,12 @@ class CEPStateShard:
         for k in [k for k, m in self.matchers.items() if not m.runs]:
             del self.matchers[k]
         key_type = pa.string() if out_k and isinstance(out_k[0], str) else pa.int64()
-        return table_to_bytes(
-            pa.table(
-                {
-                    "key": pa.array(out_k, key_type),
-                    "start_seq": pa.array(out_s, pa.int64()),
-                    "end_seq": pa.array(out_e, pa.int64()),
-                }
-            )
+        return pa.table(
+            {
+                "key": pa.array(out_k, key_type),
+                "start_seq": pa.array(out_s, pa.int64()),
+                "end_seq": pa.array(out_e, pa.int64()),
+            }
         )
 
     def snapshot(self) -> dict:

@@ -41,6 +41,36 @@ def bytes_to_table(b: bytes) -> pa.Table:
     return ipc.open_stream(io.BytesIO(b)).read_all()
 
 
+class StagingBuffer:
+    """Idempotent (epoch, chunk)-keyed staging of Arrow blobs inside a
+    shard actor.
+
+    This is what lets map_batches TASKS send epoch data to shard actors
+    directly (the driver never touches rows): a retried/re-executed task
+    re-sends the same deterministic ``chunk_seq`` keys and simply
+    overwrites identical bytes; ``drain`` concatenates once, in chunk
+    order, when the driver seals the epoch.  Staged data is NOT part of
+    any checkpoint — a resumed epoch is re-sent from the source."""
+
+    def __init__(self):
+        self.staged: dict[int, dict] = {}
+
+    def stage(self, epoch: int, chunk_key, blob: bytes, last_applied: int) -> None:
+        if epoch <= last_applied:
+            return
+        self.staged.setdefault(epoch, {})[chunk_key] = blob
+
+    def drain(self, epoch: int) -> pa.Table | None:
+        for e in [e for e in self.staged if e < epoch]:
+            del self.staged[e]
+        blobs = self.staged.pop(epoch, None)
+        if not blobs:
+            return None
+        return pa.concat_tables(
+            [bytes_to_table(b) for _, b in sorted(blobs.items())]
+        )
+
+
 @ray.remote
 class WindowStateShard:
     """One shard of windowed-aggregate state.
@@ -184,6 +214,8 @@ class JoinStateShard:
         self.right_idx: dict = {}  # doc -> [(epoch, ti, ri)]
         self.dup_lefts = 0
         self.expired_rows = 0
+        self.staging = StagingBuffer()
+        self.sealed_through = -1
 
     @staticmethod
     def _gather(tabs: list[pa.Table], locs: list[tuple[int, int]]) -> pa.Table:
@@ -201,7 +233,52 @@ class JoinStateShard:
         return pa.table(cols)
 
     def probe_and_buffer(self, epoch: int, side: str, blob: bytes) -> bytes:
-        t = bytes_to_table(blob)
+        out = self._probe_table(epoch, side, bytes_to_table(blob))
+        return table_to_bytes(out) if out is not None else b""
+
+    def stage(self, epoch: int, side: str, chunk_seq: int, blob: bytes) -> None:
+        """Idempotent per (epoch, side, chunk_seq) — called from inside
+        map_batches tasks; see :class:`StagingBuffer`."""
+        self.staging.stage(epoch, (side, chunk_seq), blob, self.sealed_through)
+
+    def seal_to_sink(
+        self, epoch: int, parts_dir: str, part_idx: int, sort_col: str = "doc_id"
+    ) -> dict | None:
+        """Apply the staged epoch (lefts first, then rights — same-epoch
+        pairs join immediately) and write this shard's join output as its
+        OWN deterministic sink part: rows never visit the driver, which
+        gets back only the part metadata for the manifest."""
+        from dataflowkit_ray.sinks.exactly_once import write_sink_part
+
+        blobs = self.staging.staged.pop(epoch, {}) if epoch > self.sealed_through else {}
+        for e in [e for e in self.staging.staged if e < epoch]:
+            del self.staging.staged[e]
+        self.sealed_through = max(self.sealed_through, epoch)
+        lefts = [
+            bytes_to_table(b) for (s, _), b in sorted(blobs.items()) if s == "left"
+        ]
+        rights = [
+            bytes_to_table(b) for (s, _), b in sorted(blobs.items()) if s == "right"
+        ]
+        outs = []
+        for side, tabs in (("left", lefts), ("right", rights)):
+            if tabs:
+                r = self._probe_table(epoch, side, pa.concat_tables(tabs))
+                if r is not None and len(r):
+                    outs.append(r)
+        if not outs:
+            return None
+        out = pa.concat_tables(outs)
+        import pyarrow.compute as pc
+
+        out = out.take(pc.sort_indices(out, sort_keys=[(sort_col, "ascending")]))
+        return write_sink_part(parts_dir, epoch, part_idx, out)
+
+    def _probe_table(self, epoch: int, side: str, t: pa.Table) -> pa.Table | None:
+        if "chunk_seq" in t.column_names:
+            t = t.drop_columns(["chunk_seq"])
+        if "partition_id" in t.column_names:
+            t = t.drop_columns(["partition_id"])
         docs = t["doc_id"].to_pylist()
         if side == "left":
             keep = [i for i, d in enumerate(docs) if d not in self.left_idx]
@@ -222,12 +299,11 @@ class JoinStateShard:
                         l_locs.append((ti, i))
                         r_locs.append((rti, rri))
             if not l_locs:
-                return b""
-            joined = self._hjoin(
+                return None
+            return self._hjoin(
                 self._gather(self.left_tabs, l_locs),
                 self._gather(self.right_tabs, r_locs),
             )
-            return table_to_bytes(joined)
         # right side: probe the left index; unmatched rows buffer
         matched_i: list[int] = []
         l_locs = []
@@ -247,10 +323,10 @@ class JoinStateShard:
             for pos, i in enumerate(unmatched_i):
                 self.right_idx.setdefault(docs[i], []).append((epoch, ti, pos))
         if not matched_i:
-            return b""
+            return None
         rt = t.take(pa.array(matched_i, pa.int64()))
         lt = self._gather(self.left_tabs, l_locs)
-        return table_to_bytes(self._hjoin(lt, rt))
+        return self._hjoin(lt, rt)
 
     def _compact(self, min_epoch: int) -> int:
         """Rebuild both sides keeping only live, unexpired rows; returns
@@ -315,12 +391,14 @@ class JoinStateShard:
             ),
             "dup_lefts": self.dup_lefts,
             "expired_rows": self.expired_rows,
+            "sealed_through": self.sealed_through,
         }
 
     def restore(self, snap: dict) -> None:
         self.__init__()
         self.dup_lefts = snap.get("dup_lefts", 0)
         self.expired_rows = snap["expired_rows"]
+        self.sealed_through = snap.get("sealed_through", -1)
         if snap["left"] is not None:
             t = bytes_to_table(snap["left"])
             self.left_tabs = [t]
