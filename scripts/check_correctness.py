@@ -53,6 +53,8 @@ def main() -> int:
 
     skip = set((sys.argv[2] if len(sys.argv) > 2 else "").split(","))
     qs, oracles = e.queries(), e.oracle_sql()
+    from reference_impl import ORACLE_FNS  # pure-python single-node oracle
+
     failures = []
     for name, fn in qs.items():
         if name in skip:
@@ -65,8 +67,12 @@ def main() -> int:
                 got = res.to_pandas()
             else:
                 got = res
-            if name in oracles:
-                exp = con.sql(oracles[name]).df()
+            if name in oracles or name in ORACLE_FNS:
+                exp = (
+                    con.sql(oracles[name]).df()
+                    if name in oracles
+                    else ORACLE_FNS[name](SF)
+                )
                 g, x = canon(got), canon(exp)
                 ok_rows = len(g) == len(x)
                 ok_cols = list(g.columns) == list(x.columns)
