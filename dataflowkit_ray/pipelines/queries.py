@@ -331,6 +331,61 @@ def q_filters_regex(sf_dir: str):
     ).select_columns(["doc_id", "extracted"])
 
 
+def q_asof_profile(sf_dir: str):
+    """As-of join (J4 latest-value-wins, the cookie-store lookup analog,
+    ``fetch/service.go:52-115``): each purchase event picks up the user's
+    most recent signup at or before it.  One bucket shuffle, vectorized
+    per-bucket resolution (stages/asof.py)."""
+    import ray.data
+
+    from dataflowkit_ray.stages.asof import asof_join
+
+    def split_left(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": pc.cast(s["user_id"], pa.int64()),
+                "purchase_ts": pc.cast(s["ts"], pa.int64()),
+                "value": s["value"],
+            }
+        )
+
+    def split_right(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["event_type"], "signup"))
+        return pa.table(
+            {
+                "user_id": pc.cast(s["user_id"], pa.int64()),
+                "signup_ts": pc.cast(s["ts"], pa.int64()),
+            }
+        )
+
+    cols = ["user_id", "ts", "event_type", "value"]
+    left = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols).map_batches(
+        split_left, batch_format="pyarrow"
+    )
+    right = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols).map_batches(
+        split_right, batch_format="pyarrow"
+    )
+    return asof_join(
+        left, right, key="user_id", left_on="purchase_ts", right_on="signup_ts"
+    )
+
+
+def q_source_policy(sf_dir: str):
+    """Per-source policy broadcast (S3/ST1 robots-config analog): the
+    distinct-source config table is built from a pruned metadata read,
+    ``ray.put`` once, loaded per ACTOR in ``__init__``, and applied
+    vectorized (stages/policy.py)."""
+    import ray.data
+
+    from dataflowkit_ray.stages.policy import source_policy_filter
+
+    srcs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source"]
+    ).unique("source")
+    return source_policy_filter(load_token_stream(sf_dir), sources=srcs)
+
+
 # ----------------------------------------------------------------- oracles
 
 
@@ -475,7 +530,25 @@ QUERIES = {
     "streaming_join": q_streaming_join,
     "sample_docs": q_sample_docs,
     "approx_distinct": q_approx_distinct,
+    "asof_profile": q_asof_profile,
+    "source_policy": q_source_policy,
 }
+
+ORACLES["asof_profile"] = """
+    WITH l AS (SELECT user_id, epoch_us(ts) AS purchase_ts, value
+               FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, epoch_us(ts) AS signup_ts
+               FROM events WHERE event_type = 'signup')
+    SELECT l.user_id, l.purchase_ts, l.value, r.signup_ts
+    FROM l ASOF JOIN r
+      ON l.user_id = r.user_id AND l.purchase_ts >= r.signup_ts
+"""
+
+ORACLES["source_policy"] = f"""
+    WITH {TOKEN_CTE}
+    SELECT doc_id, n_tok, source FROM tok
+    WHERE n_tok >= 20 + (length(source) % 4) * 10
+"""
 
 ORACLES["approx_distinct"] = """
     SELECT source,

@@ -4,8 +4,11 @@ The reference's encode stage (``/root/reference/scrape/encoders.go``)
 serializes accumulated rows to csv/json/jsonl/xml/xlsx with an optional
 gzip wrapper (``newEncodeWriter``, ``encoders.go:39-61``).  The engine's
 canonical sink is exactly-once Parquet (``sinks/exactly_once.py``); these
-encoders cover the interchange formats.  XML/XLSX are intentionally not
-ported (no consumer in the target payload, SURVEY.md §2.1 S10-S11).
+encoders cover the interchange formats.  XML follows
+``encoders.go:330-382``: ``<root>`` wrapper, one ``<row>`` per record,
+entity-escaped values, ';'-joined lists, ``details`` lists of structs
+recursively embedded.  XLSX stays unported (binary spreadsheet lib not
+in this container; SURVEY.md §2.1 S11).
 
 Each format writes distributed (one file per sink partition, tasks in
 parallel); gzip compresses inside the task.  List columns are ';'-joined
@@ -38,6 +41,40 @@ def _csv_coerce(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def _xml_value(w: io.BytesIO, value) -> None:
+    from xml.sax.saxutils import escape
+
+    if isinstance(value, dict):
+        for k, v in value.items():
+            w.write(f"<{k}>".encode())
+            _xml_value(w, v)
+            w.write(f"</{k}>".encode())
+    elif isinstance(value, (list, tuple)):
+        if value and isinstance(value[0], dict):
+            for item in value:  # details embed: recurse per struct
+                _xml_value(w, item)
+        else:
+            w.write(escape(";".join(str(v) for v in value)).encode())
+    elif value is None:
+        pass
+    else:
+        w.write(escape(str(value)).encode())
+
+
+def _write_xml(t: pa.Table, buf: io.BytesIO) -> None:
+    """``encoders.go:330-382`` semantics: escaped scalars, ';'-joined
+    lists, recursive ``details``; one <row> wrapper per record."""
+    buf.write(b'<?xml version="1.0" encoding="UTF-8"?><root>')
+    for row in t.to_pylist():
+        buf.write(b"<row>")
+        for k, v in row.items():
+            buf.write(f"<{k}>".encode())
+            _xml_value(buf, v)
+            buf.write(f"</{k}>".encode())
+        buf.write(b"</row>")
+    buf.write(b"</root>")
+
+
 def _write_partition(t: pa.Table, path: str, fmt: str, compression: str | None) -> None:
     buf = io.BytesIO()
     if fmt == "csv":
@@ -52,6 +89,8 @@ def _write_partition(t: pa.Table, path: str, fmt: str, compression: str | None) 
         for row in t.to_pylist():
             buf.write(json.dumps(row).encode())
             buf.write(b"\n")
+    elif fmt == "xml":
+        _write_xml(t, buf)
     else:
         raise ValueError(f"bad encoder format {fmt!r}")
     data = buf.getvalue()
@@ -91,7 +130,7 @@ def write_sink(ds, sink) -> int:
     shutil.rmtree(sink.path, ignore_errors=True)
     os.makedirs(sink.path, exist_ok=True)
     fmt, compression, out_dir = sink.format, sink.compression, sink.path
-    ext = {"csv": "csv", "json": "json", "jsonl": "jsonl"}[fmt]
+    ext = {"csv": "csv", "json": "json", "jsonl": "jsonl", "xml": "xml"}[fmt]
 
     from dataflowkit_ray.stages.agg import composite_bucket
 

@@ -59,6 +59,13 @@ def enumerate_chunks(files: list[str], target_rows: int = 4096) -> list[Chunk]:
     return chunks
 
 
+def _parquet_chunk_reader(spec: dict, columns: list[str] | None) -> pa.Table:
+    """Default codec: open only the chunk's own row group."""
+    pf = pq.ParquetFile(spec["file"])
+    t = pf.read_row_group(spec["row_group"], columns=columns)
+    return t.slice(spec["row_start"], spec["n_rows"])
+
+
 class MicroBatchSource:
     """Offset-tracked micro-batch reader.
 
@@ -76,11 +83,20 @@ class MicroBatchSource:
         target_rows: int = 4096,
         columns: list[str] | None = None,
         clock_column: str | None = None,
+        reader=None,
+        fallback_reader=None,
     ):
         self.files = sorted(files)
         self.n_partitions = n_partitions
         self.chunks_per_epoch = chunks_per_epoch
         self.columns = columns
+        # retry-with-fallback codec (``scrape/scrape.go:231-239``: base
+        # fetch fails -> chrome fetch retries the same work item): both
+        # are ``(spec: dict, columns) -> pa.Table``; ``reader=None`` uses
+        # the parquet row-group reader; a chunk whose primary read RAISES
+        # is re-read through ``fallback_reader`` (no fallback -> re-raise)
+        self.reader = reader
+        self.fallback_reader = fallback_reader
         self.chunks = enumerate_chunks(self.files, target_rows)
         self.by_partition: list[list[Chunk]] = [[] for _ in range(n_partitions)]
         for c in self.chunks:
@@ -137,13 +153,18 @@ class MicroBatchSource:
         import ray.data
 
         columns = self.columns
+        primary = self.reader or _parquet_chunk_reader
+        fallback = self.fallback_reader
 
         def read_chunk(batch: pa.Table) -> pa.Table:
             tables = []
             for spec in batch.to_pylist():
-                pf = pq.ParquetFile(spec["file"])
-                t = pf.read_row_group(spec["row_group"], columns=columns)
-                t = t.slice(spec["row_start"], spec["n_rows"])
+                try:
+                    t = primary(spec, columns)
+                except Exception:
+                    if fallback is None:
+                        raise
+                    t = fallback(spec, columns)
                 n = len(t)
                 t = t.append_column(
                     "partition_id", pa.array([spec["partition_id"]] * n, pa.int32())

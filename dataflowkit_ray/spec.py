@@ -81,7 +81,7 @@ class JoinSpec:
 @dataclass
 class SinkSpec:
     path: str
-    format: str = "parquet"  # parquet | csv | json | jsonl
+    format: str = "parquet"  # parquet | csv | json | jsonl | xml
     compression: str | None = None  # None | "gz" (csv/json*)
     exactly_once: bool = False  # parquet only: manifest-committed parts
 
@@ -132,7 +132,7 @@ class PipelineSpec:
 
 
 _SOURCE_FORMATS = ("parquet", "csv", "json")
-_SINK_FORMATS = ("parquet", "csv", "json", "jsonl")
+_SINK_FORMATS = ("parquet", "csv", "json", "jsonl", "xml")
 _WINDOW_KINDS = ("tumbling", "sliding", "session")
 _AGG_FNS = ("sum", "count", "min", "max")
 

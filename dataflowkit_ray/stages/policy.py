@@ -1,0 +1,77 @@
+"""Per-source policy broadcast — the robots.txt / per-domain-config
+analog (S3/ST1): a SMALL per-source config table is built once, broadcast
+via ``ray.put``, and loaded ONCE PER ACTOR in ``__init__`` (never
+re-shipped per batch), then applied vectorized to the token stream.
+
+The reference fetches per-domain robots rules once and consults them on
+every request (``/root/reference/fetch/fetcher.go:123-137``,
+``scrape/scrape.go:343-349``); here the policy is a deterministic
+min-token threshold per source so the DuckDB oracle can replay it:
+
+    min_tok(source) = 20 + (length(source) % 4) * 10
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def policy_for_source(source: str) -> int:
+    return 20 + (len(source) % 4) * 10
+
+
+def build_source_policy(sources: list[str]) -> dict[str, int]:
+    """The tiny config table (one row per distinct source)."""
+    return {s: policy_for_source(s) for s in sources}
+
+
+class SourcePolicyFilter:
+    """Actor-pool stage: policy table loaded once per actor.
+
+    ``__init__`` receives the ``ray.put`` ObjectRef and resolves it ONCE
+    (per actor, not per batch); ``__call__`` applies the threshold
+    vectorized through the batch's source dictionary."""
+
+    def __init__(self, policy_ref):
+        import ray
+
+        self.policy: dict[str, int] = ray.get(policy_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        # unknown sources (not in the policy table) default to the
+        # formula — the policy table is authoritative when present
+        thresh = np.asarray(
+            [self.policy.get(u, policy_for_source(u)) for u in uniq],
+            dtype=np.int64,
+        )
+        per_row = thresh[d.indices.to_numpy(zero_copy_only=False)]
+        n_tok = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(n_tok >= per_row)).select(
+            ["doc_id", "n_tok", "source"]
+        )
+
+
+def source_policy_filter(token_ds, sources: list[str] | None = None, concurrency: int = 2):
+    """token stream -> policy-filtered stream.
+
+    Builds the distinct-source config table (a tiny aggregate — pass
+    ``sources`` from a pruned metadata read to avoid re-deriving the
+    stream), broadcasts it once, and filters through an actor pool."""
+    import ray
+
+    if sources is None:
+        sources = token_ds.unique("source")
+    ref = ray.put(build_source_policy(sources))
+    return token_ds.map_batches(
+        SourcePolicyFilter,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )

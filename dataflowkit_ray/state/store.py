@@ -465,3 +465,62 @@ def route_by_key(t: pa.Table, key_col: str, n_shards: int) -> list[pa.Table | No
         t.filter(pa.array(sh == i)) if (sh == i).any() else None
         for i in range(n_shards)
     ]
+
+
+@ray.remote
+class LatestValueShard:
+    """Keyed latest-value-wins state (J4): the streaming form of the
+    reference's cookie/session jar — each fetch reads the latest stored
+    value for its key and writes back an updated one
+    (``/root/reference/fetch/service.go:52-115``).
+
+    ``put_batch`` upserts iff the new clock is >= the stored one (equal
+    clock: last write wins, deterministic under the per-epoch ordering
+    contract); ``lookup`` returns the current value for each requested
+    key.  Arrow-blob API like every other shard."""
+
+    def __init__(self):
+        self.state: dict = {}  # key -> (clock, value)
+
+    def put_batch(self, blob: bytes) -> int:
+        t = bytes_to_table(blob)
+        keys = t["key"].to_pylist()
+        clocks = t["clock"].to_pylist()
+        vals = t["value"].to_pylist()
+        n = 0
+        for k, c, v in zip(keys, clocks, vals):
+            cur = self.state.get(k)
+            if cur is None or c >= cur[0]:
+                self.state[k] = (c, v)
+                n += 1
+        return n
+
+    def lookup(self, blob: bytes) -> bytes:
+        t = bytes_to_table(blob)
+        keys = t["key"].to_pylist()
+        out_k, out_c, out_v = [], [], []
+        for k in keys:
+            cur = self.state.get(k)
+            if cur is not None:
+                out_k.append(k)
+                out_c.append(cur[0])
+                out_v.append(cur[1])
+        key_type = t.schema.field("key").type
+        return table_to_bytes(
+            pa.table(
+                {
+                    "key": pa.array(out_k, key_type),
+                    "clock": pa.array(out_c, pa.int64()),
+                    "value": pa.array(out_v, pa.float64()),
+                }
+            )
+        )
+
+    def snapshot(self) -> dict:
+        return {"state": dict(self.state)}
+
+    def restore(self, snap: dict) -> None:
+        self.state = dict(snap["state"])
+
+    def stats(self) -> dict:
+        return {"keys": len(self.state)}

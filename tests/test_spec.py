@@ -160,3 +160,58 @@ def test_pipeline_id_stable_and_canonical():
     assert pipeline_id(a) == pipeline_id(b)  # path stripped (canonicalized)
     assert pipeline_id(a) != pipeline_id(c)  # format is semantic
     assert len(pipeline_id(a)) == 16
+
+
+def test_run_pipeline_xml_sink(ray_session, tmp_path):
+    """XML encoder (encoders.go:330-382): <root>/<row> wrappers, escaped
+    values, ';'-joined lists — parseable by the stdlib parser."""
+    import xml.etree.ElementTree as ET
+
+    out = tmp_path / "xml_out"
+    spec = _base(
+        window=WindowSpec(kind="tumbling", size=32),
+        aggregates=[AggSpec("n_tok", "sum", "sum_n_tok")],
+        sink=SinkSpec(path=str(out), format="xml"),
+    )
+    summary = run_pipeline(spec)
+    assert summary["rows"] == 320
+    rows = []
+    for f in sorted(glob.glob(f"{out}/*.xml")):
+        root = ET.parse(f).getroot()
+        assert root.tag == "root"
+        for row in root:
+            assert row.tag == "row"
+            rows.append({c.tag: c.text for c in row})
+    assert len(rows) == 320
+    assert {"source", "window_id", "sum_n_tok"} <= set(rows[0])
+
+
+def test_xml_escaping_and_lists(tmp_path):
+    """Entity escaping + ';' list join + nested details embed."""
+    import xml.etree.ElementTree as ET
+
+    import pyarrow as pa
+
+    from dataflowkit_ray.sinks.encoders import _write_partition
+
+    t = pa.table(
+        {
+            "name": pa.array(['a<b>&"c', "plain"]),
+            "vals": pa.array([[1, 2, 3], [4]], pa.list_(pa.int32())),
+            "details": pa.array(
+                [
+                    [{"chunk_idx": 0, "chunk_n_tok": 16}],
+                    [{"chunk_idx": 0, "chunk_n_tok": 5}, {"chunk_idx": 1, "chunk_n_tok": 2}],
+                ],
+                pa.list_(pa.struct([("chunk_idx", pa.int32()), ("chunk_n_tok", pa.int32())])),
+            ),
+        }
+    )
+    path = str(tmp_path / "x.xml")
+    _write_partition(t, path, "xml", None)
+    root = ET.parse(path).getroot()
+    r0, r1 = list(root)
+    assert r0.find("name").text == 'a<b>&"c'
+    assert r0.find("vals").text == "1;2;3"
+    d = r1.find("details")
+    assert [c.tag for c in d] == ["chunk_idx", "chunk_n_tok", "chunk_idx", "chunk_n_tok"]
