@@ -79,7 +79,53 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         t0 = time.perf_counter()
         rows[name] = _consume(QUERIES[name](sf_dir))
         times[name] = time.perf_counter() - t0
+
+    # minhash at 10x volume (50k docs at sf0.1): per-doc throughput must
+    # hold as volume grows — the bucket-join verify path has no driver
+    # bottleneck to saturate (VERDICT r1 item 1 done-criterion)
+    t0 = time.perf_counter()
+    rows["minhash_x10"] = _consume(
+        _minhash_volume(sf_dir, repeat=10)
+    )
+    times["minhash_x10"] = time.perf_counter() - t0
     return times, rows
+
+
+def _minhash_volume(sf_dir: str, repeat: int):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from dataflowkit_ray.stages.dedup import minhash_lsh_pairs
+
+    def rep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for r in range(repeat):
+            # salt every word with the replica id: replica texts become
+            # shingle-DISJOINT (cross-replica Jaccard ~0) while pairwise
+            # Jaccard within a replica is preserved — replicas are new
+            # documents, not 10x copies that would all band-collide
+            text = pc.replace_substring(t["text"], " ", f" q{r}_")
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids_np + r * 10_000_000),
+                        "text": text,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(rep, batch_format="pyarrow")
+    return minhash_lsh_pairs(ds, threshold=0.8, k=64, bands=32)
 
 
 def n_docs(sf_dir: str) -> int:

@@ -68,10 +68,37 @@ def q_embedding_dup_pairs(sf_dir: str):
     return cosine_dup_pairs(_emb(sf_dir), threshold=0.42, n_blocks=8)
 
 
+def plant_near_dups(t):
+    """Deterministic near-duplicate per vector: first component nudged by
+    1% of the norm (cosine ~0.99995), id shifted by 10M.  The synthesis
+    that makes a high-threshold dedup query non-trivial on the synthetic
+    embeddings (whose max natural off-diagonal cosine is ~0.51)."""
+    import pyarrow as pa
+
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    dup = vecs.copy()
+    dup[:, 0] += 0.01 * np.linalg.norm(vecs, axis=1)
+    out_ids = np.concatenate([ids, ids + 10_000_000])
+    out_vecs = np.concatenate([vecs, dup], axis=0)
+    return pa.table(
+        {
+            "vec_id": pa.array(out_ids),
+            "embedding": pa.array(list(out_vecs)),
+        }
+    )
+
+
 def q_lsh_dup_pairs(sf_dir: str):
-    """Scale-path ANN dedup (random-hyperplane LSH buckets; recall < 1 by
-    construction — subset-of-brute-force enforced in tests)."""
-    return lsh_dup_pairs(_emb(sf_dir), threshold=0.42, n_planes=4, n_tables=8)
+    """Scale-path ANN dedup at a PRODUCTION threshold (0.95): hyperplane
+    LSH only bounds the candidate set when the threshold is high (at 0.42
+    a 5000-vector corpus yields ~10^6 random collisions).  The corpus is
+    the embeddings table plus one planted near-dup per vector; expected
+    output = exactly the planted pairs.  Miss probability per pair
+    ~(1 - 0.998^12)^6 ~ 1e-10 — recall is effectively 1, which the
+    pure-python oracle (identical plane replay) checks exactly."""
+    ds = _emb(sf_dir).map_batches(plant_near_dups, batch_format="pyarrow")
+    return lsh_dup_pairs(ds, threshold=0.95, n_planes=12, n_tables=6)
 
 
 def q_text_stats(sf_dir: str):

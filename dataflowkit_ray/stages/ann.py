@@ -301,10 +301,11 @@ def lsh_dup_pairs(
             {
                 "doc_a": pa.array(cand[:, 0].astype(np.int64)),
                 "doc_b": pa.array(cand[:, 1].astype(np.int64)),
-                "_one": pa.array(np.ones(len(cand), dtype=np.int64)),
             }
         )
 
+    # duplicate pairs (several tables agreeing) dedupe inside the verify
+    # join's per-pair group — no distinct-ify shuffle needed
     cand = (
         sigs.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
@@ -313,9 +314,6 @@ def lsh_dup_pairs(
             batch_format="pyarrow",
         )
     )
-    cand = hash_agg(
-        cand, ("doc_a", "doc_b"), [("_one", "count", "_n")], n_buckets=16
-    ).select_columns(["doc_a", "doc_b"])
 
     # verify: bucket join of pairs x (id -> vector); batched dot products
     def payload_stage(t: pa.Table) -> pa.Table:

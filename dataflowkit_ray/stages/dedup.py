@@ -236,19 +236,27 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def _pairs_from_groups(doc_ids: np.ndarray, group_ids: np.ndarray) -> np.ndarray:
-    """All within-group (a < b) pairs, vectorized-ish per group."""
+    """All within-group (a < b) pairs.
+
+    Group boundaries are found vectorized; Python touches only the
+    multi-member groups (the candidate groups — rare on an honest
+    corpus), never every row."""
+    n = len(group_ids)
+    if n == 0:
+        return np.empty((0, 2), dtype=np.int64)
     order = np.lexsort((doc_ids, group_ids))
     g = group_ids[order]
     d = doc_ids[order]
+    new = np.ones(n, dtype=bool)
+    new[1:] = g[1:] != g[:-1]
+    starts = np.nonzero(new)[0]
+    lens = np.diff(np.append(starts, n))
     pairs = []
-    start = 0
-    for i in range(1, len(g) + 1):
-        if i == len(g) or g[i] != g[start]:
-            if i - start > 1:
-                members = d[start:i]
-                ai, bi = np.triu_indices(len(members), k=1)
-                pairs.append(np.stack([members[ai], members[bi]], axis=1))
-            start = i
+    multi = lens > 1
+    for s, L in zip(starts[multi], lens[multi]):
+        members = d[s : s + L]
+        ai, bi = np.triu_indices(int(L), k=1)
+        pairs.append(np.stack([members[ai], members[bi]], axis=1))
     if not pairs:
         return np.empty((0, 2), dtype=np.int64)
     return np.unique(np.concatenate(pairs), axis=0)
@@ -392,7 +400,21 @@ def pair_payload_join(
                 ("side", "ascending"),
             ],
         )
-        return verify_fn(t.take(idx))
+        t = t.take(idx)
+        # a pair surfacing from several LSH bands arrives with duplicate
+        # halves — dedupe here (sorted: keep first per (a, b, side)) so
+        # callers don't need a distinct-ify shuffle on the pair stream
+        if len(t):
+            a = t["doc_a"].to_numpy(zero_copy_only=False)
+            b = t["doc_b"].to_numpy(zero_copy_only=False)
+            side = t["side"].to_numpy(zero_copy_only=False)
+            keep = np.ones(len(t), dtype=bool)
+            keep[1:] = (
+                (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (side[1:] != side[:-1])
+            )
+            if not keep.all():
+                t = t.filter(pa.array(keep))
+        return verify_fn(t)
 
     return (
         attached.map_batches(add_bucket2, batch_format="pyarrow")
@@ -533,10 +555,11 @@ def minhash_lsh_pairs(
             {
                 "doc_a": pa.array(cand[:, 0].astype(np.int64)),
                 "doc_b": pa.array(cand[:, 1].astype(np.int64)),
-                "_one": pa.array(np.ones(len(cand), dtype=np.int64)),
             }
         )
 
+    # duplicate pairs (several bands agreeing) are deduped inside the
+    # verify join's per-pair group — no distinct-ify shuffle needed
     cand = (
         sigs.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
@@ -545,10 +568,6 @@ def minhash_lsh_pairs(
             batch_format="pyarrow",
         )
     )
-    # a pair can be produced by several bands -> distinct-ify distributedly
-    cand = hash_agg(
-        cand, ("doc_a", "doc_b"), [("_one", "count", "_n")], n_buckets=16
-    ).select_columns(["doc_a", "doc_b"])
 
     def shingle_stage(t: pa.Table) -> pa.Table:
         off, vals = shingle_hash_flat(t[text_col], w)

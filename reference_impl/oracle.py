@@ -226,14 +226,19 @@ def oracle_simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def oracle_lsh_dup_pairs(
-    sf_dir: str, threshold: float = 0.42, n_planes: int = 4, n_tables: int = 8
+    sf_dir: str, threshold: float = 0.95, n_planes: int = 12, n_tables: int = 6
 ) -> pd.DataFrame:
     """Scalar replay of the hyperplane-LSH bucketing (deterministic
-    pseudo-gaussian planes) + exact cosine verify: the engine's candidate
-    set is a pure function of the data, so the oracle reproduces it."""
+    pseudo-gaussian planes) + exact cosine verify over the planted-dup
+    corpus: the engine's candidate set is a pure function of the data,
+    so the oracle reproduces it."""
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = [int(v) for v in t["vec_id"].to_pylist()]
-    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    base_ids = [int(v) for v in t["vec_id"].to_pylist()]
+    base = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    dup = base.copy()
+    dup[:, 0] += 0.01 * np.linalg.norm(base, axis=1)
+    ids = base_ids + [i + 10_000_000 for i in base_ids]
+    vecs = np.concatenate([base, dup], axis=0)
     dim = vecs.shape[1]
     n = n_tables * n_planes * dim
     u = np.array(

@@ -95,13 +95,17 @@ def test_ann_topk_matches_numpy(ray_session):
         assert got_q.neighbor_id.tolist() == exp_n
 
 
-def test_lsh_pairs_subset_of_brute(ray_session):
-    brute = q_embedding_dup_pairs(SF).to_pandas()
+def test_lsh_pairs_find_planted_dups(ray_session):
+    """The high-threshold LSH query must recover exactly the planted
+    near-dup pairs (miss prob ~1e-10 per pair) with cosine ~0.99995."""
+    import pyarrow.parquet as pq
+
     lsh = q_lsh_dup_pairs(SF).to_pandas()
-    bs = set(zip(brute.doc_a, brute.doc_b))
-    ls = set(zip(lsh.doc_a, lsh.doc_b)) if len(lsh) else set()
-    assert ls <= bs  # precision exact (verified cosine)
-    assert len(ls) >= 0.5 * len(bs)  # sane recall on this corpus
+    ids = pq.read_table(f"{SF}/embeddings.parquet")["vec_id"].to_pylist()
+    expected = {(int(i), int(i) + 10_000_000) for i in ids}
+    got = set(zip(lsh.doc_a, lsh.doc_b))
+    assert got == expected
+    assert (lsh.cosine > 0.999).all()
 
 
 def test_text_stats_matches_pandas(ray_session):
