@@ -4,8 +4,14 @@ watermark-driven emission -> exactly-once sink -> checkpoint.
 Mirrors the reference lifecycle (``Task.Parse``: validate -> workers ->
 pipeline -> encode, ``/root/reference/scrape/scrape.go:210-269``) recast
 per SURVEY.md §3.4: control stays in the driver, data never returns to it
-except (a) pre-aggregated per-epoch window partials (bounded by windows
-touched per epoch, not rows) and (b) sink manifests.
+except (a) pre-aggregated per-epoch window partials and (b) sink
+manifests.  The partial transfer is bounded by #(source, window) pairs
+TOUCHED per epoch — at most (epoch_rows / window_size + n_partitions) x
+n_sources x n_batches-combined rows, independent of row count; with the
+default config that is O(10^2-10^3) rows/epoch however large the epoch.
+(The event/join runners, whose per-epoch state deltas ARE row-scale,
+route from map_batches tasks to shard actors instead — see
+``event_runner.make_stage_router``.)
 
 Per epoch:
 

@@ -75,7 +75,80 @@ def _write_xml(t: pa.Table, buf: io.BytesIO) -> None:
     buf.write(b"</root>")
 
 
+def _write_xlsx(t: pa.Table, path: str) -> None:
+    """Minimal OOXML spreadsheet (``encoders.go:396-439``): one sheet,
+    header row, every cell an inline string formatted by the CSV cell
+    rules (lists ';'-joined).  Hand-rolled zip of XML parts — no
+    spreadsheet library needed; deterministic timestamps for
+    bit-identical re-runs."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="sheet" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    coerced = _csv_coerce(t)
+    buf = io.StringIO()
+    buf.write(
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+    )
+
+    def row_xml(cells: list[str]) -> str:
+        return (
+            "<row>"
+            + "".join(
+                f'<c t="inlineStr"><is><t>{escape(c)}</t></is></c>' for c in cells
+            )
+            + "</row>"
+        )
+
+    buf.write(row_xml(coerced.column_names))
+    for row in coerced.to_pylist():
+        buf.write(row_xml(["" if v is None else str(v) for v in row.values()]))
+    buf.write("</sheetData></worksheet>")
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in (
+            ("[Content_Types].xml", ct),
+            ("_rels/.rels", rels),
+            ("xl/workbook.xml", wb),
+            ("xl/_rels/workbook.xml.rels", wb_rels),
+            ("xl/worksheets/sheet1.xml", buf.getvalue()),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            z.writestr(zi, data)
+    os.replace(tmp, path)
+
+
 def _write_partition(t: pa.Table, path: str, fmt: str, compression: str | None) -> None:
+    if fmt == "xlsx":
+        _write_xlsx(t, path)  # zip container: no outer gzip wrapper
+        return
     buf = io.BytesIO()
     if fmt == "csv":
         pacsv.write_csv(_csv_coerce(t), buf)
@@ -130,7 +203,7 @@ def write_sink(ds, sink) -> int:
     shutil.rmtree(sink.path, ignore_errors=True)
     os.makedirs(sink.path, exist_ok=True)
     fmt, compression, out_dir = sink.format, sink.compression, sink.path
-    ext = {"csv": "csv", "json": "json", "jsonl": "jsonl", "xml": "xml"}[fmt]
+    ext = {"csv": "csv", "json": "json", "jsonl": "jsonl", "xml": "xml", "xlsx": "xlsx"}[fmt]
 
     from dataflowkit_ray.stages.agg import composite_bucket
 

@@ -59,6 +59,16 @@ def enumerate_chunks(files: list[str], target_rows: int = 4096) -> list[Chunk]:
     return chunks
 
 
+def _clock_to_int(v) -> int:
+    """Row-group statistic -> int64 clock (micros for timestamps)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch) // datetime.timedelta(microseconds=1))
+    return int(v)
+
+
 def _parquet_chunk_reader(spec: dict, columns: list[str] | None) -> pa.Table:
     """Default codec: open only the chunk's own row group."""
     pf = pq.ParquetFile(spec["file"])
@@ -101,28 +111,60 @@ class MicroBatchSource:
         self.by_partition: list[list[Chunk]] = [[] for _ in range(n_partitions)]
         for c in self.chunks:
             self.by_partition[c.seq % n_partitions].append(c)
-        # optional explicit clock (e.g. a sorted ts column): per-chunk first
-        # clock value for clock-unit watermarks.  Test-scale shortcut: one
-        # driver-side column read; at corpus scale these land in the chunk
-        # index during a metadata pass (or from parquet row-group stats).
+        # optional explicit clock (e.g. a sorted ts column): per-chunk
+        # clock lower bound for clock-unit watermarks, from parquet
+        # ROW-GROUP STATISTICS only (metadata pass, no data read).  For a
+        # chunk starting mid-row-group the row-group min is a conservative
+        # lower bound — a lower watermark only DELAYS closes (never
+        # wrongly closes early), and all emission is content-identical by
+        # the final flush.  Falls back to reading the column if a writer
+        # produced no statistics.
         self.chunk_first_clock: dict[int, int] | None = None
         self.max_clock: int = 0
         if clock_column is not None:
             firsts: dict[int, int] = {}
-            file_base: dict[str, int] = {}
-            base = 0
             for f in self.files:
-                file_base[f] = base
-                base += pq.read_metadata(f).num_rows
-            for f in self.files:
-                col = pq.read_table(f, columns=[clock_column])[clock_column]
-                if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
-                vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-                for c in self.chunks:
-                    if c.file == f:
-                        firsts[c.seq] = int(vals[c.global_row_start - file_base[f]])
-                self.max_clock = max(self.max_clock, int(vals[-1]) if len(vals) else 0)
+                md = pq.read_metadata(f)
+                col_idx = next(
+                    (
+                        i
+                        for i in range(md.schema.to_arrow_schema().__len__())
+                        if md.schema.column(i).name == clock_column
+                    ),
+                    None,
+                )
+                rg_min: dict[int, int] = {}
+                stats_ok = col_idx is not None
+                if stats_ok:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(col_idx).statistics
+                        if st is None or not st.has_min_max:
+                            stats_ok = False
+                            break
+                        rg_min[rg] = _clock_to_int(st.min)
+                        self.max_clock = max(self.max_clock, _clock_to_int(st.max))
+                if stats_ok:
+                    for c in self.chunks:
+                        if c.file == f:
+                            firsts[c.seq] = rg_min[c.row_group]
+                else:
+                    # fallback: one column read for this file
+                    col = pq.read_table(f, columns=[clock_column])[clock_column]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    base = 0
+                    row_of: dict[int, int] = {}
+                    off = 0
+                    for rg in range(md.num_row_groups):
+                        row_of[rg] = off
+                        off += md.row_group(rg).num_rows
+                    for c in self.chunks:
+                        if c.file == f:
+                            firsts[c.seq] = int(vals[row_of[c.row_group] + c.row_start])
+                    self.max_clock = max(
+                        self.max_clock, int(vals[-1]) if len(vals) else 0
+                    )
             self.chunk_first_clock = firsts
 
     def initial_offsets(self) -> list[int]:

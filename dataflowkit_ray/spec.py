@@ -81,7 +81,7 @@ class JoinSpec:
 @dataclass
 class SinkSpec:
     path: str
-    format: str = "parquet"  # parquet | csv | json | jsonl | xml
+    format: str = "parquet"  # parquet | csv | json | jsonl | xml | xlsx
     compression: str | None = None  # None | "gz" (csv/json*)
     exactly_once: bool = False  # parquet only: manifest-committed parts
 
@@ -132,7 +132,7 @@ class PipelineSpec:
 
 
 _SOURCE_FORMATS = ("parquet", "csv", "json")
-_SINK_FORMATS = ("parquet", "csv", "json", "jsonl", "xml")
+_SINK_FORMATS = ("parquet", "csv", "json", "jsonl", "xml", "xlsx")
 _WINDOW_KINDS = ("tumbling", "sliding", "session")
 _AGG_FNS = ("sum", "count", "min", "max")
 

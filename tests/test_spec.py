@@ -215,3 +215,37 @@ def test_xml_escaping_and_lists(tmp_path):
     assert r0.find("vals").text == "1;2;3"
     d = r1.find("details")
     assert [c.tag for c in d] == ["chunk_idx", "chunk_n_tok", "chunk_idx", "chunk_n_tok"]
+
+
+def test_run_pipeline_xlsx_sink(ray_session, tmp_path):
+    """Minimal OOXML writer (encoders.go:396-439): header row + inline
+    strings; zip structure parseable with the stdlib."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    out = tmp_path / "xlsx_out"
+    spec = _base(
+        window=WindowSpec(kind="tumbling", size=32),
+        aggregates=[AggSpec("n_tok", "sum", "sum_n_tok")],
+        sink=SinkSpec(path=str(out), format="xlsx"),
+    )
+    summary = run_pipeline(spec)
+    assert summary["rows"] == 320
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    rows = []
+    for f in sorted(glob.glob(f"{out}/*.xlsx")):
+        with zipfile.ZipFile(f) as z:
+            assert "xl/workbook.xml" in z.namelist()
+            sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+            sheet_rows = sheet.findall(f"{ns}sheetData/{ns}row")
+            header = [c.find(f"{ns}is/{ns}t").text for c in sheet_rows[0]]
+            for r in sheet_rows[1:]:
+                cells = [
+                    (c.find(f"{ns}is/{ns}t").text or "")
+                    if c.find(f"{ns}is/{ns}t") is not None
+                    else ""
+                    for c in r
+                ]
+                rows.append(dict(zip(header, cells)))
+    assert len(rows) == 320
+    assert {"source", "window_id", "sum_n_tok"} <= set(rows[0])
