@@ -57,6 +57,37 @@ class SourcePolicyFilter:
         )
 
 
+class ThrottleStage:
+    """Politeness throttle (ST6): caps the per-actor row rate — the batch
+    analog of the reference's per-domain fetch delay
+    (``/root/reference/scrape/scrape.go:343-349``: 500 ms + jitter per
+    request).  Identity on DATA (replays bit-identical); the rate cap is
+    a wall-clock side effect only, so it lives outside every oracle
+    comparison.  Rate is per actor: total ceiling = rate x concurrency."""
+
+    def __init__(self, rows_per_sec: float):
+        if rows_per_sec <= 0:
+            raise ValueError("rows_per_sec must be > 0")
+        self.rate = rows_per_sec
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import time
+
+        time.sleep(len(t) / self.rate)
+        return t
+
+
+def throttle(ds, rows_per_sec: float, concurrency: int = 1):
+    """Rate-capped identity stage (actor pool)."""
+    return ds.map_batches(
+        ThrottleStage,
+        fn_constructor_args=(rows_per_sec,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
 def source_policy_filter(token_ds, sources: list[str] | None = None, concurrency: int = 2):
     """token stream -> policy-filtered stream.
 

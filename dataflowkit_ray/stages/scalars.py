@@ -62,12 +62,27 @@ def f_regex(arr: pa.Array, param: str) -> pa.Array:
     return pa.array([one(v) for v in a.to_pylist()], type=pa.string())
 
 
+def f_relurl(arr: pa.Array, param: str) -> pa.Array:
+    """Resolve each (possibly relative) URL against the base ``param`` —
+    the reference's ``utils.RelUrl`` (``/root/reference/utils/utils.go:41-53``,
+    Go ``url.ResolveReference`` == stdlib ``urljoin``).  Null/"" pass
+    through as ""."""
+    from urllib.parse import urljoin
+
+    a = _combine(arr)
+    return pa.array(
+        [urljoin(param, v) if v else "" for v in a.to_pylist()],
+        type=pa.string(),
+    )
+
+
 FILTERS: dict[str, Callable[[pa.Array, str | None], pa.Array]] = {
     "trim": f_trim,
     "lowercase": f_lowercase,
     "uppercase": f_uppercase,
     "capitalize": f_capitalize,
     "regex": f_regex,
+    "relurl": f_relurl,
 }
 
 

@@ -157,3 +157,20 @@ def test_fallback_reader(ray_session, tmp_path):
     specs2, off2 = src2.next_slice(src2.initial_offsets())
     got = src2.read_epoch(specs2).to_pandas()
     assert sorted(got.doc_id) == list(range(100))
+
+
+def test_throttle_stage_caps_rate(ray_session):
+    """ST6: the throttle is identity on data and enforces the rate cap."""
+    import time
+
+    import ray.data
+
+    from dataflowkit_ray.stages.policy import throttle
+
+    t = pa.table({"x": pa.array(range(200), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(2)
+    t0 = time.time()
+    out = throttle(ds, rows_per_sec=400.0, concurrency=1).to_pandas()
+    elapsed = time.time() - t0
+    assert sorted(out.x) == list(range(200))
+    assert elapsed >= 0.45  # 200 rows at 400 rows/s via one actor

@@ -49,4 +49,25 @@ def test_out_column_and_stage():
 
 
 def test_registry_complete():
-    assert set(FILTERS) == {"trim", "lowercase", "uppercase", "capitalize", "regex"}
+    assert set(FILTERS) == {"trim", "lowercase", "uppercase", "capitalize", "regex", "relurl"}
+
+
+def test_relurl_filter():
+    """utils.RelUrl analog: absolute stays, relative resolves, '' -> ''."""
+    import pyarrow as pa
+
+    from dataflowkit_ray.stages.scalars import f_relurl
+
+    arr = pa.array(
+        ["/a/b", "c?x=1", "http://other.io/z", "", None, "../up"],
+        pa.string(),
+    )
+    out = f_relurl(arr, "http://example.com/dir/page.html").to_pylist()
+    assert out == [
+        "http://example.com/a/b",
+        "http://example.com/dir/c?x=1",
+        "http://other.io/z",
+        "",
+        "",
+        "http://example.com/up",
+    ]
