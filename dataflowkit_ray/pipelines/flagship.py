@@ -99,10 +99,17 @@ def flagship_pipeline(
 
     metrics = ds.map_batches(metrics_partial, batch_format="pyarrow")
 
-    # ---- the stream-stream details join on doc_id (the real shuffle-join
-    # stage), folded to per-window detail counts
-    child = ds.map_batches(explode_chunks(16), batch_format="pyarrow")
-    joined = join_details(ds, child, num_partitions=cfg.join_num_partitions)
+    # ---- the stream-stream details join (the real shuffle-join stage),
+    # folded to per-window detail counts.  Key = event_seq (int64 ==
+    # int(doc_id)): integer hash keys through the join/aggregate beat the
+    # string doc_id at volume.
+    child = ds.map_batches(
+        explode_chunks(16, with_tokens=False, id_col="event_seq"),
+        batch_format="pyarrow",
+    )
+    joined = join_details(
+        ds, child, key="event_seq", num_partitions=cfg.join_num_partitions
+    )
 
     def details_partial(t: pa.Table) -> pa.Table:
         t = assign_tumbling(t, wsize)

@@ -103,7 +103,7 @@ def q_session_events(sf_dir: str):
 
 def q_join_details(sf_dir: str):
     ds = load_token_stream(sf_dir)
-    child = ds.map_batches(explode_chunks(16), batch_format="pyarrow")
+    child = ds.map_batches(explode_chunks(16, with_tokens=False), batch_format="pyarrow")
     return join_details(ds, child, num_partitions=CFG.join_num_partitions)
 
 
@@ -117,7 +117,7 @@ def q_join_details_nested(sf_dir: str):
     driver's sort-columns-then-hash compare can't order dict cells; the
     struct itself is asserted in tests/test_join.py."""
     ds = load_token_stream(sf_dir)
-    child = ds.map_batches(explode_chunks(16), batch_format="pyarrow")
+    child = ds.map_batches(explode_chunks(16, with_tokens=False), batch_format="pyarrow")
     nested = join_details(ds, child, with_struct=True)
 
     def digest(t: pa.Table) -> pa.Table:

@@ -177,13 +177,53 @@ def match_pattern_batch(pattern: Pattern):
                 starts_all.append(g_starts - offsets[row_of])
                 ends_all.append(g_starts - offsets[row_of] + L)
         else:
-            for r in range(len(tokens)):
-                seq = flat[offsets[r] : offsets[r + 1]]
-                ms = _scan_gaps(seq, pattern)
-                if ms:
-                    row_ids.append(np.full(len(ms), r, dtype=np.int64))
-                    starts_all.append(np.asarray([m[0] for m in ms], dtype=np.int64))
-                    ends_all.append(np.asarray([m[1] for m in ms], dtype=np.int64))
+            # gapped patterns, vectorized over the whole flat buffer:
+            # candidate starts advance through the steps with ONE
+            # searchsorted per step (leftmost-token semantics == the
+            # per-doc _scan_gaps scalar scanner, asserted in tests);
+            # Python touches only the resulting MATCHES (sparse), never
+            # every doc
+            step_pos = [
+                np.nonzero(s.mask(flat))[0].astype(np.int64) for s in pattern.steps
+            ]
+            pos = step_pos[0].copy()
+            gstart = step_pos[0].copy()
+            if len(pos):
+                row_of = np.searchsorted(offsets, gstart, side="right") - 1
+                row_end = offsets[row_of + 1]
+                alive = np.ones(len(pos), dtype=bool)
+                for j in range(1, L):
+                    pj = step_pos[j]
+                    idx = np.searchsorted(pj, pos, side="right")
+                    has = idx < len(pj)
+                    nxt = np.where(
+                        has, pj[np.minimum(idx, max(len(pj) - 1, 0))], np.int64(1 << 62)
+                    )
+                    ok = (
+                        has
+                        & (nxt <= pos + pattern.steps[j].max_gap + 1)
+                        & (nxt < row_end)
+                    )
+                    alive &= ok
+                    pos = np.where(ok, nxt, pos)
+                gs, ge, ro = gstart[alive], pos[alive] + 1, row_of[alive]
+                if pattern.mode == "nonoverlapping" and len(gs):
+                    # greedy left-to-right per row over candidates only
+                    sel = np.zeros(len(gs), dtype=bool)
+                    resume = -1
+                    cur = -1
+                    for i in range(len(gs)):
+                        if ro[i] != cur:
+                            cur = ro[i]
+                            resume = -1
+                        if gs[i] >= resume:
+                            sel[i] = True
+                            resume = ge[i]
+                    gs, ge, ro = gs[sel], ge[sel], ro[sel]
+                if len(gs):
+                    row_ids.append(ro)
+                    starts_all.append(gs - offsets[ro])
+                    ends_all.append(ge - offsets[ro])
 
         if not row_ids:
             return pa.table(

@@ -33,12 +33,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def explode_chunks(chunk_size: int = 16):
+def explode_chunks(chunk_size: int = 16, with_tokens: bool = True, id_col: str = "doc_id"):
     """map_batches fn: token stream -> child "detail" stream.
 
     One output row per ``chunk_size``-token block:
-    (doc_id, chunk_idx:int32, chunk_n_tok:int32, chunk_tokens:list<int32>).
+    (<id_col>, chunk_idx:int32, chunk_n_tok:int32[, chunk_tokens:list<int32>]).
     Vectorized flat-map (np.repeat + Arrow take + re-sliced list offsets).
+
+    ``with_tokens=False`` skips materializing the chunk token payload —
+    consumers that immediately aggregate (the flagship/details-count
+    path) only need the lengths, and gathering the full token buffer per
+    chunk was the single most expensive kernel in the flagship profile.
+
+    ``id_col`` picks the parent key carried on child rows: ``event_seq``
+    (int64 == int(doc_id)) makes the downstream hash join/aggregate key
+    an integer — measurably cheaper than the string doc_id at volume.
     """
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -51,31 +60,33 @@ def explode_chunks(chunk_size: int = 16):
         cum = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
         chunk_idx = (np.arange(n_chunks.sum()) - np.repeat(cum, n_chunks)).astype(np.int64)
 
-        flat = tokens.flatten()
         list_off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         list_off = list_off - list_off[0]
         starts = list_off[row_idx] + chunk_idx * chunk_size
         ends = np.minimum(starts + chunk_size, list_off[row_idx + 1])
-        # build chunk_tokens as a ListArray over a gathered value buffer
         lengths = ends - starts
-        val_idx = np.repeat(starts, lengths) + (
-            np.arange(lengths.sum()) - np.repeat(np.concatenate(([0], np.cumsum(lengths)))[:-1], lengths)
-        )
-        values = flat.take(pa.array(val_idx))
-        offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
-        chunk_tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
 
-        doc_id = batch["doc_id"]
+        doc_id = batch[id_col]
         if isinstance(doc_id, pa.ChunkedArray):
             doc_id = doc_id.combine_chunks()
-        return pa.table(
-            {
-                "doc_id": doc_id.take(pa.array(row_idx)),
-                "chunk_idx": pa.array(chunk_idx.astype(np.int32)),
-                "chunk_n_tok": pa.array(lengths.astype(np.int32)),
-                "chunk_tokens": chunk_tokens,
-            }
-        )
+        cols = {
+            id_col: doc_id.take(pa.array(row_idx)),
+            "chunk_idx": pa.array(chunk_idx.astype(np.int32)),
+            "chunk_n_tok": pa.array(lengths.astype(np.int32)),
+        }
+        if with_tokens:
+            # build chunk_tokens as a ListArray over a gathered value buffer
+            flat = tokens.flatten()
+            val_idx = np.repeat(starts, lengths) + (
+                np.arange(lengths.sum())
+                - np.repeat(np.concatenate(([0], np.cumsum(lengths)))[:-1], lengths)
+            )
+            values = flat.take(pa.array(val_idx))
+            offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
+            cols["chunk_tokens"] = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), values
+            )
+        return pa.table(cols)
 
     return fn
 

@@ -147,3 +147,37 @@ def test_custom_predicate_shape_validated():
     bad = Step(predicate=lambda t: np.array([True]))
     with pytest.raises(ValueError, match="input shape"):
         bad.mask(np.array([1, 2, 3]))
+
+
+def test_vectorized_gap_scan_equals_scalar_random():
+    """The batch scanner's searchsorted advance must equal the per-doc
+    scalar _scan_gaps on randomized token streams, patterns and modes."""
+    import numpy as np
+
+    from dataflowkit_ray.stages.cep import Pattern, Step, _scan_gaps
+
+    rng = np.random.RandomState(11)
+    for trial in range(40):
+        n_docs = rng.randint(1, 12)
+        seqs = [list(rng.randint(0, 5, rng.randint(0, 30))) for _ in range(n_docs)]
+        L = rng.randint(1, 4)
+        steps = [Step(literal=int(rng.randint(0, 5)))]
+        for _ in range(L - 1):
+            steps.append(
+                Step(literal=int(rng.randint(0, 5)), max_gap=int(rng.randint(0, 4)))
+            )
+        mode = ["overlapping", "nonoverlapping"][trial % 2]
+        pat = Pattern(steps=tuple(steps), mode=mode)
+        got = match_pattern_batch(pat)(_batch(seqs))
+        got_rows = sorted(
+            zip(
+                got["doc_id"].to_pylist(),
+                got["match_start"].to_pylist(),
+                got["match_end"].to_pylist(),
+            )
+        )
+        exp_rows = []
+        for r, seq in enumerate(seqs):
+            for s, e in _scan_gaps(np.asarray(seq, dtype=np.int64), pat):
+                exp_rows.append((str(r), s, e))
+        assert got_rows == sorted(exp_rows), (trial, mode, seqs, steps)
