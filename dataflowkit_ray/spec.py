@@ -79,6 +79,37 @@ class JoinSpec:
 
 
 @dataclass
+class DedupSpec:
+    """Terminal dedup stage (training-data ops): runs on the RAW document
+    stream (``source.tokenize=False``) and replaces the analytic tail —
+    exclusive with pattern/join/window/aggregates."""
+
+    kind: str = "exact"  # exact | minhash | simhash
+    threshold: float = 0.8  # minhash Jaccard threshold
+    max_hamming: int = 3  # simhash distance bound
+    text_col: str = "text"
+    id_col: str = "doc_id"
+
+
+@dataclass
+class PolicySpec:
+    """Per-source policy broadcast (robots-config analog): the distinct-
+    source config table loads once per actor; applies on the token
+    stream (requires ``source.tokenize=True``)."""
+
+    enabled: bool = True
+    concurrency: int = 2
+
+
+@dataclass
+class ThrottleSpec:
+    """Politeness rate cap (per-actor rows/sec; identity on data)."""
+
+    rows_per_sec: float = 1000.0
+    concurrency: int = 1
+
+
+@dataclass
 class SinkSpec:
     path: str
     format: str = "parquet"  # parquet | csv | json | jsonl | xml | xlsx
@@ -95,6 +126,9 @@ class PipelineSpec:
     aggregates: list[AggSpec] = field(default_factory=list)
     pattern: PatternSpec | None = None
     join: JoinSpec | None = None
+    dedup: DedupSpec | None = None
+    policy: PolicySpec | None = None
+    throttle: ThrottleSpec | None = None
     sink: SinkSpec | None = None
 
     # ------------------------------------------------------- serialization
@@ -127,6 +161,9 @@ class PipelineSpec:
                 else None
             ),
             join=JoinSpec(**d["join"]) if d.get("join") else None,
+            dedup=DedupSpec(**d["dedup"]) if d.get("dedup") else None,
+            policy=PolicySpec(**d["policy"]) if d.get("policy") else None,
+            throttle=ThrottleSpec(**d["throttle"]) if d.get("throttle") else None,
             sink=SinkSpec(**d["sink"]) if d.get("sink") else None,
         )
 
@@ -179,6 +216,17 @@ def validate_spec(spec: PipelineSpec) -> None:
             set_kinds = sum(x is not None for x in (s.literal, s.any_of, s.residue))
             if set_kinds != 1:
                 raise SpecError("each step sets exactly one of literal/any_of/residue")
+    if spec.dedup:
+        if spec.dedup.kind not in ("exact", "minhash", "simhash"):
+            raise SpecError(f"unknown dedup kind {spec.dedup.kind!r}")
+        if spec.source.tokenize:
+            raise SpecError("dedup runs on raw documents: set source.tokenize=false")
+        if spec.pattern or spec.join or spec.window or spec.aggregates:
+            raise SpecError("dedup is a terminal stage: no pattern/join/window/aggregates")
+    if spec.policy and spec.policy.enabled and not spec.source.tokenize:
+        raise SpecError("source policy applies to the token stream: source.tokenize=true")
+    if spec.throttle and spec.throttle.rows_per_sec <= 0:
+        raise SpecError("throttle rows_per_sec must be > 0")
     if spec.sink and spec.sink.format not in _SINK_FORMATS:
         raise SpecError(
             f"unsupported sink format {spec.sink.format!r}; one of {_SINK_FORMATS}"
@@ -220,10 +268,41 @@ def build_pipeline(spec: PipelineSpec):
     if src.tokenize:
         ds = ds.map_batches(tokenize_documents, batch_format="pyarrow")
 
+    if spec.policy and spec.policy.enabled:
+        from dataflowkit_ray.stages.policy import source_policy_filter
+
+        ds = source_policy_filter(ds, concurrency=spec.policy.concurrency)
+
+    if spec.throttle:
+        from dataflowkit_ray.stages.policy import throttle as _throttle
+
+        ds = _throttle(
+            ds, spec.throttle.rows_per_sec, concurrency=spec.throttle.concurrency
+        )
+
     for f in spec.filters:
         ds = ds.map_batches(
             filters_stage(f.column, list(f.chain), f.out), batch_format="pyarrow"
         )
+
+    if spec.dedup:
+        from dataflowkit_ray.stages.dedup import (
+            exact_dedup,
+            minhash_lsh_pairs,
+            simhash_pairs,
+        )
+
+        dd = spec.dedup
+        if dd.kind == "exact":
+            return exact_dedup(ds, text_col=dd.text_col, id_col=dd.id_col)
+        if dd.kind == "minhash":
+            return minhash_lsh_pairs(
+                ds, threshold=dd.threshold, text_col=dd.text_col, id_col=dd.id_col
+            )
+        return simhash_pairs(
+            ds, max_hamming=dd.max_hamming, text_col=dd.text_col, id_col=dd.id_col
+        )
+
 
     if spec.pattern:
         pat = Pattern(

@@ -249,3 +249,50 @@ def test_run_pipeline_xlsx_sink(ray_session, tmp_path):
                 rows.append(dict(zip(header, cells)))
     assert len(rows) == 320
     assert {"source", "window_id", "sum_n_tok"} <= set(rows[0])
+
+
+def test_spec_dedup_policy_throttle(ray_session, tmp_path):
+    """Round-2 spec surface: dedup terminal, per-source policy, throttle."""
+    from dataflowkit_ray.spec import DedupSpec, PolicySpec, ThrottleSpec
+
+    # exact dedup via spec == direct operator
+    spec = PipelineSpec(
+        name="dd",
+        source=SourceSpec(paths=[f"{SF}/documents.parquet"], tokenize=False,
+                          columns=["doc_id", "text"]),
+        dedup=DedupSpec(kind="exact"),
+    )
+    got = build_pipeline(spec).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    from dataflowkit_ray.pipelines.training import q_exact_dedup
+
+    exp = q_exact_dedup(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(exp)
+
+    # json round-trip keeps the new branches
+    spec2 = PipelineSpec.from_json(spec.to_json())
+    assert spec2.dedup.kind == "exact"
+
+    # validation: dedup on tokenized stream rejected
+    bad = PipelineSpec(
+        name="bad",
+        source=SourceSpec(paths=[f"{SF}/documents.parquet"], tokenize=True),
+        dedup=DedupSpec(kind="exact"),
+    )
+    with pytest.raises(SpecError):
+        validate_spec(bad)
+
+    # policy + throttle compose on the token stream
+    spec3 = PipelineSpec(
+        name="pol",
+        source=SourceSpec(paths=[f"{SF}/documents.parquet"]),
+        policy=PolicySpec(concurrency=1),
+        throttle=ThrottleSpec(rows_per_sec=100000.0),
+    )
+    out = build_pipeline(spec3).to_pandas()
+    from dataflowkit_ray.stages.policy import policy_for_source
+
+    full = build_pipeline(
+        PipelineSpec(name="all", source=SourceSpec(paths=[f"{SF}/documents.parquet"]))
+    ).to_pandas()
+    exp_n = (full.n_tok >= full.source.map(policy_for_source)).sum()
+    assert len(out) == exp_n
