@@ -24,7 +24,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # (documents at sf0.1 is only 5k rows; repeat=20 -> 100k distinct docs)
 REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "500"))
 # --scaling needs enough volume that compute dominates fixed overhead
-SCALING_REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "1000"))
+# (~10s of stage orchestration per run; after the round-2 kernel
+# optimizations ~3x more volume is needed to stay compute-dominated)
+SCALING_REPEAT = int(
+    os.environ.get("GRAFT_SCALING_REPEAT", os.environ.get("GRAFT_BENCH_REPEAT", "4000"))
+)
 
 
 _SINK_SEQ = [0]
