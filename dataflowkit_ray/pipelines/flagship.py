@@ -42,11 +42,11 @@ def default_pattern() -> Pattern:
     )
 
 
-def _conform(t: pa.Table, present: dict[str, str]) -> pa.Table:
+def _conform(t: pa.Table, present: dict[str, str], key_col: str = "source") -> pa.Table:
     """Project a per-window partial onto the common metric schema,
     zero-filling absent metrics so union + Sum-groupby == outer-join."""
     n = len(t)
-    cols: dict[str, object] = {"source": t["source"], "window_id": t["window_id"]}
+    cols: dict[str, object] = {key_col: t[key_col], "window_id": t["window_id"]}
     for m in _METRICS:
         src = present.get(m)
         cols[m] = (
@@ -74,50 +74,110 @@ def flagship_pipeline(
     epoch model, not a full-input materialization, at scale.
     """
     pattern = default_pattern()
-    matcher = match_pattern_batch(pattern)
+    matcher = match_pattern_batch(pattern, carry=("src_id", "event_seq"))
     wsize = cfg.tumbling_size
 
-    ds = load_token_stream(sf_dir, repeat=repeat)
+    # volume-derived block count: the plan (and per-block work) is then
+    # IDENTICAL at every cluster size — Ray's CPU-derived default gives
+    # small clusters fewer/fatter blocks, which skews scaling comparisons
+    blocks = max(64, min(512, repeat // 8)) if repeat > 1 else None
+    ds = load_token_stream(sf_dir, repeat=repeat, num_blocks=blocks)
+
+    # every shuffle byte is paid at exchange bandwidth, so the source
+    # STRING never enters a shuffle: the (tiny) source catalog comes from
+    # a pruned metadata-scale read, rows carry an int32 ``src_id`` through
+    # every partial/join, and the string re-attaches on the final (small)
+    # result.  At 100 TB the catalog is a metadata table; this is the
+    # dictionary-encode-through-the-exchange pattern.
+    import ray.data as _rd
+
+    srcs = sorted(
+        _rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source"]
+        ).unique("source")
+    )
+    src_to_id = {v: i for i, v in enumerate(srcs)}
+
+    def add_src_id(t: pa.Table) -> pa.Table:
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        lut = np.asarray(
+            [src_to_id[u] for u in d.dictionary.to_pylist()], dtype=np.int32
+        )
+        sid = lut[d.indices.to_numpy(zero_copy_only=False)]
+        return t.drop_columns(["source"]).append_column("src_id", pa.array(sid))
+
+    ds = ds.map_batches(add_src_id, batch_format="pyarrow")
     if materialize:
         ds = ds.materialize()
 
     # ---- one fused pass: window-sum partials + CEP match partials
     def metrics_partial(b: pa.Table) -> pa.Table:
         b = assign_tumbling(b, wsize)
-        g = b.select(["source", "window_id", "n_tok"]).group_by(
-            ["source", "window_id"]
+        g = b.select(["src_id", "window_id", "n_tok"]).group_by(
+            ["src_id", "window_id"]
         ).aggregate([("n_tok", "sum"), ("n_tok", "count")])
-        g = g.rename_columns(["source", "window_id", "s", "c"])
-        win = _conform(g, {"sum_n_tok": "s", "n_rows": "c"})
+        g = g.rename_columns(["src_id", "window_id", "s", "c"])
+        win = _conform(g, {"sum_n_tok": "s", "n_rows": "c"}, key_col="src_id")
 
         m = assign_tumbling(matcher(b), wsize)
-        gm = m.select(["source", "window_id"]).group_by(
-            ["source", "window_id"]
+        gm = m.select(["src_id", "window_id"]).group_by(
+            ["src_id", "window_id"]
         ).aggregate([([], "count_all")])
-        gm = gm.rename_columns(["source", "window_id", "m"])
-        return pa.concat_tables([win, _conform(gm, {"n_matches": "m"})])
+        gm = gm.rename_columns(["src_id", "window_id", "m"])
+        return pa.concat_tables(
+            [win, _conform(gm, {"n_matches": "m"}, key_col="src_id")]
+        )
 
     metrics = ds.map_batches(metrics_partial, batch_format="pyarrow")
 
     # ---- the stream-stream details join (the real shuffle-join stage),
     # folded to per-window detail counts.  Key = event_seq (int64 ==
-    # int(doc_id)): integer hash keys through the join/aggregate beat the
-    # string doc_id at volume.
-    child = ds.map_batches(
-        explode_chunks(16, with_tokens=False, id_col="event_seq"),
-        batch_format="pyarrow",
+    # int(doc_id)): integer hash keys through the join beat the string
+    # doc_id at volume.  Both sides are projected to exactly the columns
+    # the downstream fold reads — the join is an all-to-all, so every
+    # byte through it is paid at shuffle bandwidth.  The child AGGREGATE
+    # (one row per doc) is computed batch-locally: a doc's detail chunks
+    # derive from its own row (the same containment the reference's
+    # ``divide`` guarantees for blocks in a page), so the pre-aggregation
+    # shuffle of the generic ``join_details`` path is unnecessary here —
+    # the parent x child-aggregate hash join remains the real exchange.
+    def child_agg(t: pa.Table) -> pa.Table:
+        n_tok = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = np.maximum(1, -(-n_tok // 16))
+        return pa.table(
+            {
+                "event_seq": t["event_seq"],
+                "n_details": pa.array(nd),
+                "sum_detail_tok": pa.array(n_tok),
+            }
+        )
+
+    child = ds.map_batches(child_agg, batch_format="pyarrow")
+    parent = ds.map_batches(
+        lambda t: t.select(["event_seq", "src_id"]), batch_format="pyarrow"
     )
-    joined = join_details(
-        ds, child, key="event_seq", num_partitions=cfg.join_num_partitions
+    # shuffle partition count follows the cluster (a deployment knob like
+    # Spark's shuffle partitions, not part of the logical plan)
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", cfg.join_num_partitions)) if _ray.is_initialized() else cfg.join_num_partitions
+    joined = parent.join(
+        child,
+        join_type="inner",
+        num_partitions=max(16, min(32, ncpu)),
+        on=("event_seq",),
     )
 
     def details_partial(t: pa.Table) -> pa.Table:
         t = assign_tumbling(t, wsize)
-        g = t.select(["source", "window_id", "n_details"]).group_by(
-            ["source", "window_id"]
+        g = t.select(["src_id", "window_id", "n_details"]).group_by(
+            ["src_id", "window_id"]
         ).aggregate([("n_details", "sum")])
-        g = g.rename_columns(["source", "window_id", "d"])
-        return _conform(g, {"n_details": "d"})
+        g = g.rename_columns(["src_id", "window_id", "d"])
+        return _conform(g, {"n_details": "d"}, key_col="src_id")
 
     details = joined.map_batches(details_partial, batch_format="pyarrow")
 
@@ -125,6 +185,18 @@ def flagship_pipeline(
     from dataflowkit_ray.stages.agg import hash_agg
 
     merged = metrics.union(details)
-    return hash_agg(
-        merged, ("source", "window_id"), [(m, "sum", m) for m in _METRICS]
+    agg = hash_agg(
+        merged, ("src_id", "window_id"), [(m, "sum", m) for m in _METRICS]
     )
+
+    src_arr = np.asarray(srcs, dtype=object)
+
+    def attach_source(t: pa.Table) -> pa.Table:
+        sid = t["src_id"].to_numpy(zero_copy_only=False)
+        out = {"source": pa.array(src_arr[sid], pa.string())}
+        for c in t.column_names:
+            if c != "src_id":
+                out[c] = t[c]
+        return pa.table(out)
+
+    return agg.map_batches(attach_source, batch_format="pyarrow")

@@ -133,13 +133,14 @@ def _scan_gaps(tokens: np.ndarray, pattern: Pattern) -> list[tuple[int, int]]:
     return out
 
 
-def match_pattern_batch(pattern: Pattern):
+def match_pattern_batch(pattern: Pattern, carry: tuple[str, ...] = ("doc_id", "source", "event_seq")):
     """map_batches fn: token-stream batch -> match rows.
 
-    Output schema: (doc_id, source, event_seq, match_start:int32,
+    Output schema: ``carry`` columns + (match_start:int32,
     match_end:int32).  One row per match, rows with no match emit nothing
     (the reference's skip-with-NotError on zero selector hits,
-    ``scrape/scrape.go:75-77``).
+    ``scrape/scrape.go:75-77``).  ``carry`` lets byte-lean pipelines pass
+    an int source id instead of the default string columns.
     """
 
     L = len(pattern.steps)
@@ -226,15 +227,10 @@ def match_pattern_batch(pattern: Pattern):
                     ends_all.append(ge - offsets[ro])
 
         if not row_ids:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.string()),
-                    "source": pa.array([], type=pa.string()),
-                    "event_seq": pa.array([], type=pa.int64()),
-                    "match_start": pa.array([], type=pa.int32()),
-                    "match_end": pa.array([], type=pa.int32()),
-                }
-            )
+            empty = {c: batch[c].slice(0, 0) for c in carry}
+            empty["match_start"] = pa.array([], type=pa.int32())
+            empty["match_end"] = pa.array([], type=pa.int32())
+            return pa.table(empty)
         rows = np.concatenate(row_ids)
         starts = np.concatenate(starts_all)
         ends = np.concatenate(ends_all)
@@ -242,15 +238,10 @@ def match_pattern_batch(pattern: Pattern):
         take = lambda col: (
             col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         ).take(idx)
-        return pa.table(
-            {
-                "doc_id": take(batch["doc_id"]),
-                "source": take(batch["source"]),
-                "event_seq": take(batch["event_seq"]),
-                "match_start": pa.array(starts.astype(np.int32)),
-                "match_end": pa.array(ends.astype(np.int32)),
-            }
-        )
+        out = {c: take(batch[c]) for c in carry}
+        out["match_start"] = pa.array(starts.astype(np.int32))
+        out["match_end"] = pa.array(ends.astype(np.int32))
+        return pa.table(out)
 
     return fn
 

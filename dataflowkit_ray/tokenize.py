@@ -130,39 +130,59 @@ def replicate_stream(repeat: int, id_stride: int = 10_000_000):
     def fn(t: pa.Table) -> pa.Table:
         if repeat <= 1:
             return t
+        n = len(t)
         seq = t["event_seq"]
         if isinstance(seq, pa.ChunkedArray):
             seq = seq.combine_chunks()
         seq = seq.to_numpy(zero_copy_only=False)
-        parts = []
-        for r in range(repeat):
-            shifted = pa.array(seq + r * id_stride)
-            parts.append(
-                pa.table(
-                    {
-                        "doc_id": pc.cast(shifted, pa.string()),
-                        "tokens": t["tokens"],
-                        "n_tok": t["n_tok"],
-                        "source": t["source"],
-                        "event_seq": shifted,
-                    }
-                )
-            )
-        return pa.concat_tables(parts)
+        # one vectorized gather for ALL replicas (an O(repeat) python
+        # loop of per-replica tables dominated wall time at high repeat)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), repeat))
+        new_seq = pa.array(
+            np.tile(seq, repeat)
+            + np.repeat(np.arange(repeat, dtype=np.int64) * id_stride, n)
+        )
+
+        def gather(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return col.take(idx)
+
+        return pa.table(
+            {
+                "doc_id": pc.cast(new_seq, pa.string()),
+                "tokens": gather(t["tokens"]),
+                "n_tok": gather(t["n_tok"]),
+                "source": gather(t["source"]),
+                "event_seq": new_seq,
+            }
+        )
 
     return fn
 
 
-def load_token_stream(sf_dir: str, *, columns_extra: tuple[str, ...] = (), repeat: int = 1):
+def load_token_stream(
+    sf_dir: str,
+    *,
+    columns_extra: tuple[str, ...] = (),
+    repeat: int = 1,
+    num_blocks: int | None = None,
+):
     """documents.parquet -> token-stream Dataset (the engine's source).
 
     Column-prunes at the read (only doc_id/text/source leave storage) and
     tokenizes inside ``map_batches`` with zero-copy Arrow batches.
+
+    ``num_blocks`` pins the read block count.  Ray's default derives it
+    from the CPU count, which makes the execution PLAN differ between
+    cluster sizes; a volume-derived count keeps the plan identical (the
+    honest scaling comparison) and gives big clusters enough parallelism.
     """
     import ray.data
 
     cols = ["doc_id", "text", "source", *columns_extra]
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols, **kw)
     ds = ds.map_batches(tokenize_documents, batch_format="pyarrow", zero_copy_batch=True)
     if repeat > 1:
         ds = ds.map_batches(replicate_stream(repeat), batch_format="pyarrow")
