@@ -8,7 +8,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow.parquet as pq
 
-from dataflowkit_ray.stages.ann import brute_topk, cosine_dup_pairs, lsh_dup_pairs
+from dataflowkit_ray.stages.ann import (
+    brute_topk,
+    cosine_dup_pairs,
+    ivf_centroids,
+    ivf_topk,
+    lsh_dup_pairs,
+)
 from dataflowkit_ray.stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
 from dataflowkit_ray.stages.multimodal import media_pipeline
 from dataflowkit_ray.stages.textstats import TEXT_STATS_SQL, doc_fingerprints, text_stats
@@ -55,6 +61,21 @@ def q_ann_topk(sf_dir: str):
     qv = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
     qi = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
     return brute_topk(_emb(sf_dir), qv, qi, k=5)
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-partitioned ANN top-k: deterministic k-means coarse quantizer
+    (hash-sampled build set, fixed Lloyd iterations) + probe-limited scan.
+    Run at n_probe = n_centroids, where IVF is EXACT (so the DuckDB
+    cross-join oracle applies); the n_probe < n_centroids regime (compute
+    ~ n_probe/n_centroids) is recall-tested in pytest."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "<", 10)]
+    )
+    qv = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    qi = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    cent = ivf_centroids(_emb(sf_dir), n_centroids=16)
+    return ivf_topk(_emb(sf_dir), qv, qi, cent, k=5, n_probe=len(cent))
 
 
 def q_embedding_dup_pairs(sf_dir: str):
@@ -120,6 +141,7 @@ TRAINING_QUERIES = {
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "text_stats": q_text_stats,
@@ -183,3 +205,5 @@ TRAINING_ORACLES = {
     """,
     "text_stats": TEXT_STATS_SQL,
 }
+
+TRAINING_ORACLES["ivf_topk"] = TRAINING_ORACLES["ann_topk"]

@@ -367,3 +367,146 @@ def lsh_dup_pairs(
         payload_type=vec_type,
         n_buckets=64,
     )
+
+
+# ----------------------------------------------------------------- IVF
+
+
+def ivf_centroids(
+    ds,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    sample_mod: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means over a hash-sampled
+    subset, fixed iteration count, seeds = the sample's first rows.
+
+    The sample is collected via a distributed filter (keep ids with
+    ``hash(id) % sample_mod == 0``) and only the SAMPLE reaches the
+    driver — the catalog-sized side of IVF, exactly like a real index
+    build.  Lloyd iterations run on the driver over the sample (tiny);
+    the resulting (k, dim) matrix is the broadcastable index."""
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = (
+            t[id_col].combine_chunks()
+            if isinstance(t[id_col], pa.ChunkedArray)
+            else t[id_col]
+        ).to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = (fnv1a64_numpy(ids) % np.uint64(sample_mod)) == 0
+        return t.filter(pa.array(keep)).select([id_col, vec_col])
+
+    st = ds.map_batches(sample, batch_format="pyarrow").sort(id_col).take_all()
+    m = _unit(np.asarray([r[vec_col] for r in st], dtype=np.float64))
+    k = min(n_centroids, len(m))
+    cent = m[:k].copy()  # deterministic seeds: first k sample rows
+    for _ in range(n_iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+def ivf_topk(
+    ds,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-partitioned top-k: each vector belongs to its nearest centroid
+    cell; a query only scans the ``n_probe`` cells nearest to it.
+
+    Per batch: one matmul assigns rows to cells, one matmul scores rows
+    against only the queries probing their cell (mask), then the same
+    partial-top-k -> bucket merge as :func:`brute_topk`.  Recall < 1 by
+    construction (``n_probe = len(centroids)`` degrades to brute force);
+    compute shrinks ~ n_probe / n_centroids.  Centroids + query matrix
+    are one small ``ray.put`` broadcast."""
+    import ray
+
+    q = _unit(np.asarray(query_vecs, dtype=np.float64))
+    qid = np.asarray(query_ids, dtype=np.int64)
+    cent = np.asarray(centroids, dtype=np.float64)
+    # cells each query probes: n_probe nearest centroids
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (Q, n_probe)
+    ref = ray.put((q, qid, cent, probe))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qm, qids, cm, pr = ray.get(ref)
+        m = _unit(_mat(t[vec_col]))
+        ids = (
+            t[id_col].combine_chunks()
+            if isinstance(t[id_col], pa.ChunkedArray)
+            else t[id_col]
+        ).to_numpy(zero_copy_only=False)
+        cell = np.argmax(m @ cm.T, axis=1)  # (B,)
+        sims = np.round(qm @ m.T, 6)  # (Q, B)
+        # mask out rows whose cell is not probed by the query
+        probed = np.zeros((len(qm), len(cm)), dtype=bool)
+        for qi in range(len(qm)):
+            probed[qi, pr[qi]] = True
+        mask = probed[:, cell]  # (Q, B)
+        sims = np.where(mask, sims, -2.0)
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        top = min(k + 1, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            idx = np.argpartition(-s, top - 1)[:top]
+            idx = idx[np.lexsort((ids[idx], -s[idx]))]
+            for j in idx:
+                if s[j] <= -2.0 or ids[j] == qids[qi]:
+                    continue
+                rows["query_id"].append(int(qids[qi]))
+                rows["neighbor_id"].append(int(ids[j]))
+                rows["sim"].append(float(s[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                "sim": pa.array(rows["sim"], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    from dataflowkit_ray.stages.windows import bucket_of
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t["query_id"], 16)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        qids = t["query_id"].to_numpy(zero_copy_only=False)
+        nids = t["neighbor_id"].to_numpy(zero_copy_only=False)
+        sims = t["sim"].to_numpy(zero_copy_only=False)
+        out = {"query_id": [], "neighbor_id": [], "sim": [], "rank": []}
+        for q_ in np.unique(qids):
+            msk = qids == q_
+            order = np.lexsort((nids[msk], -sims[msk]))[:k]
+            for r, j in enumerate(order):
+                out["query_id"].append(int(q_))
+                out["neighbor_id"].append(int(nids[msk][j]))
+                out["sim"].append(float(sims[msk][j]))
+                out["rank"].append(r + 1)
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+                "rank": pa.array(out["rank"], pa.int64()),
+            }
+        )
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(lambda t: finalize(t.drop_columns(["_bucket"])), batch_format="pyarrow")
+    )
