@@ -386,6 +386,16 @@ def q_source_policy(sf_dir: str):
     return source_policy_filter(load_token_stream(sf_dir), sources=srcs)
 
 
+def q_quantiles(sf_dir: str):
+    """Exact per-source n_tok quantiles (p50/p90): one bucket shuffle,
+    per-bucket vectorized order statistics (stages/sketch.py)."""
+    from dataflowkit_ray.stages.sketch import grouped_quantiles
+
+    return grouped_quantiles(
+        load_token_stream(sf_dir), ("source",), "n_tok", (0.5, 0.9)
+    )
+
+
 # ----------------------------------------------------------------- oracles
 
 
@@ -532,7 +542,16 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "asof_profile": q_asof_profile,
     "source_policy": q_source_policy,
+    "quantiles": q_quantiles,
 }
+
+ORACLES["quantiles"] = f"""
+    WITH {TOKEN_CTE}
+    SELECT source,
+           CAST(quantile_disc(n_tok, 0.50) AS BIGINT) AS q50,
+           CAST(quantile_disc(n_tok, 0.90) AS BIGINT) AS q90
+    FROM tok GROUP BY source
+"""
 
 ORACLES["asof_profile"] = """
     WITH l AS (SELECT user_id, epoch_us(ts) AS purchase_ts, value

@@ -136,3 +136,84 @@ def kmv_distinct(
             batch_format="pyarrow",
         )
     )
+
+
+def grouped_quantiles(
+    ds,
+    keys: tuple[str, ...],
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5,),
+    n_buckets: int = 32,
+):
+    """Exact per-group discrete quantiles via the bucket pattern.
+
+    Values shuffle ONCE on ``hash(keys) % n_buckets`` (same-key rows
+    co-locate); each bucket computes every group's order statistics in a
+    single vectorized pass (lexsort by (group code, value) + offset
+    arithmetic) — no per-group Python, no full sort of the dataset.
+
+    Discrete ("lower") interpolation: result index = ceil(q * n) - 1 of
+    the sorted group, matching DuckDB ``quantile_disc``.  Output columns:
+    keys + ``q<percent>`` per requested quantile.
+
+    Scale note: a single group's values must fit one task (bucket) —
+    true for keyed telemetry/stats groups; a group of corpus scale needs
+    a mergeable sketch (KLL) instead, the same trade as ``kmv_distinct``
+    vs exact COUNT DISTINCT."""
+    from dataflowkit_ray.stages.agg import composite_bucket
+
+    key_list = list(keys)
+    qnames = [f"q{int(round(q * 100)):02d}" for q in quantiles]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select(key_list + [value_col])
+        return t.append_column(
+            "_bucket", pa.array(composite_bucket(t, key_list, n_buckets))
+        )
+
+    def bucket_quantiles(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_bucket"])
+        n = len(t)
+        if n == 0:
+            cols = {k: t[k] for k in key_list}
+            for qn in qnames:
+                cols[qn] = pa.array([], pa.int64())
+            return pa.table(cols)
+        # group code per row over the composite key
+        codes = np.zeros(n, dtype=np.int64)
+        mult = 1
+        dicts = []
+        for k in key_list:
+            col = t[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            d = col.dictionary_encode()
+            idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            codes = codes * max(1, len(d.dictionary)) + idx
+            dicts.append(d)
+            mult *= max(1, len(d.dictionary))
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((vals, codes))
+        sc, sv = codes[order], vals[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = sc[1:] != sc[:-1]
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.append(starts, n))
+        first_rows = order[starts]  # one representative row per group
+        cols = {}
+        for k in key_list:
+            col = t[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[k] = col.take(pa.array(first_rows))
+        for q, qn in zip(quantiles, qnames):
+            pos = np.ceil(q * lens).astype(np.int64) - 1
+            pos = np.clip(pos, 0, lens - 1)
+            cols[qn] = pa.array(sv[starts + pos])
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_quantiles, batch_format="pyarrow")
+    )

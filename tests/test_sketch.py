@@ -56,3 +56,35 @@ def test_kmv_estimate_monotone_in_kth():
     h2 = np.sort(fnv1a64_numpy(np.arange(2000, dtype=np.int64)))
     big = kmv_estimate(h2[:256], 256)
     assert big > small * 1.5
+
+
+def test_grouped_quantiles_match_numpy(ray_session):
+    """Exact bucket-pattern order statistics == brute per-group numpy."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dataflowkit_ray.stages.sketch import grouped_quantiles
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array([f"g{int(x)}" for x in rng.randint(0, 37, n)]),
+            "v": pa.array(rng.randint(0, 10_000, n).astype(np.int64)),
+        }
+    )
+    got = (
+        grouped_quantiles(
+            ray.data.from_arrow(t).repartition(8), ("k",), "v", (0.5, 0.9)
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    df = t.to_pandas()
+    for k, g in df.groupby("k"):
+        sv = np.sort(g.v.to_numpy())
+        for q, col in ((0.5, "q50"), (0.9, "q90")):
+            pos = max(0, int(np.ceil(q * len(sv))) - 1)
+            assert got.loc[k, col] == sv[pos], (k, col)
