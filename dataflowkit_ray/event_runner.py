@@ -53,6 +53,8 @@ def project_events(t: pa.Table) -> pa.Table:
     }
     if "chunk_seq" in t.column_names:
         cols["chunk_seq"] = pc.cast(t["chunk_seq"], pa.int64())
+    if "_chunk_row" in t.column_names:
+        cols["_chunk_row"] = pc.cast(t["_chunk_row"], pa.int64())
     return pa.table(cols)
 
 
@@ -60,28 +62,37 @@ def make_stage_router(shard_groups: list[list], n_shards: int, epoch: int):
     """map_batches fn that routes its batch's rows to shard actors
     DIRECTLY (the task is the data plane; the driver never holds rows).
 
-    One ``stage`` call per (chunk_seq, shard) — chunk_seq is the
-    deterministic idempotency key, so a retried/re-executed task is
-    harmless.  ``shard_groups`` is a list of actor LISTS: every actor in
-    group i receives shard i's sub-batch (e.g. session + CEP shards).
-    Blocks on the acks so epoch consumption implies delivery."""
-    from dataflowkit_ray.state.store import route_by_key, table_to_bytes
+    One ``stage`` call per (chunk piece, shard), keyed by
+    ``(chunk_seq, first _chunk_row of the piece)`` — deterministic, so a
+    retried/re-executed task re-sends the same keys harmlessly, while a
+    chunk whose output block Ray split across tasks stages each piece
+    under its own key (no silent overwrite).  ``shard_groups`` is a list
+    of actor LISTS: every actor in group i receives shard i's sub-batch
+    (e.g. session + CEP shards).  Blocks on the acks so epoch
+    consumption implies delivery."""
+    from dataflowkit_ray.stages.windows import bucket_of
+    from dataflowkit_ray.state.store import table_to_bytes
 
     def route(t: pa.Table) -> pa.Table:
         refs = []
         n_rows = len(t)
         if n_rows:
             chunk = t["chunk_seq"].to_numpy(zero_copy_only=False)
+            rowid = t["_chunk_row"].to_numpy(zero_copy_only=False)
             for c in np.unique(chunk):
-                sub = t.filter(pa.array(chunk == c)).drop_columns(["chunk_seq"])
-                for shard_i, ss in enumerate(route_by_key(sub, "key", n_shards)):
-                    if ss is None:
+                m = chunk == c
+                sub = t.filter(pa.array(m))
+                sub_rows = rowid[m]
+                sh = bucket_of(sub["key"], n_shards)
+                payload = sub.drop_columns(["chunk_seq", "_chunk_row"])
+                for shard_i in range(n_shards):
+                    ms = sh == shard_i
+                    if not ms.any():
                         continue
-                    blob = table_to_bytes(ss)
+                    blob = table_to_bytes(payload.filter(pa.array(ms)))
+                    ckey = (int(c), int(sub_rows[ms].min()))
                     for group in shard_groups:
-                        refs.append(
-                            group[shard_i].stage.remote(epoch, int(c), blob)
-                        )
+                        refs.append(group[shard_i].stage.remote(epoch, ckey, blob))
         ray.get(refs)
         return pa.table({"rows": pa.array([n_rows], pa.int64())})
 

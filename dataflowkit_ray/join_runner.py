@@ -64,7 +64,8 @@ class StreamJoinRunner:
         driver consumes only 1-row ack summaries."""
         import numpy as np
 
-        from dataflowkit_ray.state.store import route_by_key, table_to_bytes
+        from dataflowkit_ray.stages.windows import bucket_of
+        from dataflowkit_ray.state.store import table_to_bytes
 
         n_shards = self.n_shards
 
@@ -73,14 +74,24 @@ class StreamJoinRunner:
             n = len(t)
             if n:
                 chunk = t["chunk_seq"].to_numpy(zero_copy_only=False)
+                rowid = t["_chunk_row"].to_numpy(zero_copy_only=False)
                 for c in np.unique(chunk):
-                    sub = t.filter(pa.array(chunk == c)).drop_columns(["chunk_seq"])
-                    for i, ss in enumerate(route_by_key(sub, "doc_id", n_shards)):
-                        if ss is None:
+                    m = chunk == c
+                    sub = t.filter(pa.array(m))
+                    sub_rows = rowid[m]
+                    sh = bucket_of(sub["doc_id"], n_shards)
+                    payload = sub.drop_columns(["chunk_seq", "_chunk_row"])
+                    for i in range(n_shards):
+                        ms = sh == i
+                        if not ms.any():
                             continue
+                        ckey = (int(c), int(sub_rows[ms].min()))
                         refs.append(
                             shards[i].stage.remote(
-                                epoch, side, int(c), table_to_bytes(ss)
+                                epoch,
+                                side,
+                                ckey,
+                                table_to_bytes(payload.filter(pa.array(ms))),
                             )
                         )
             ray.get(refs)
@@ -114,9 +125,10 @@ class StreamJoinRunner:
 
         def proj_left(t: pa.Table) -> pa.Table:
             tok = tokenize_documents(t)
-            return tok.select(["doc_id", "n_tok", "source"]).append_column(
+            out = tok.select(["doc_id", "n_tok", "source"]).append_column(
                 "chunk_seq", pc.cast(t["chunk_seq"], pa.int64())
             )
+            return out.append_column("_chunk_row", pc.cast(t["_chunk_row"], pa.int64()))
 
         def proj_right(t: pa.Table) -> pa.Table:
             return pa.table(
@@ -124,6 +136,7 @@ class StreamJoinRunner:
                     "doc_id": pc.cast(t["vec_id"], pa.string()),
                     "label": pc.cast(t["label"], pa.int32()),
                     "chunk_seq": pc.cast(t["chunk_seq"], pa.int64()),
+                    "_chunk_row": pc.cast(t["_chunk_row"], pa.int64()),
                 }
             )
 

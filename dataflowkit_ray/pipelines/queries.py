@@ -383,7 +383,11 @@ def q_source_policy(sf_dir: str):
     srcs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["source"]
     ).unique("source")
-    return source_policy_filter(load_token_stream(sf_dir), sources=srcs)
+    return source_policy_filter(
+        load_token_stream(sf_dir), sources=srcs
+    ).map_batches(
+        lambda t: t.select(["doc_id", "n_tok", "source"]), batch_format="pyarrow"
+    )
 
 
 def q_quantiles(sf_dir: str):

@@ -212,6 +212,17 @@ class MicroBatchSource:
                     "partition_id", pa.array([spec["partition_id"]] * n, pa.int32())
                 )
                 t = t.append_column("chunk_seq", pa.array([spec["seq"]] * n, pa.int64()))
+                # deterministic global row id: lets the shard-staging
+                # layer distinguish (and dedupe) sub-batches when Ray
+                # splits a chunk's output block across map tasks
+                import numpy as _np
+
+                t = t.append_column(
+                    "_chunk_row",
+                    pa.array(
+                        spec["global_row_start"] + _np.arange(n, dtype=_np.int64)
+                    ),
+                )
                 tables.append(t)
             return pa.concat_tables(tables)
 

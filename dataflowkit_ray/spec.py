@@ -271,7 +271,17 @@ def build_pipeline(spec: PipelineSpec):
     if spec.policy and spec.policy.enabled:
         from dataflowkit_ray.stages.policy import source_policy_filter
 
-        ds = source_policy_filter(ds, concurrency=spec.policy.concurrency)
+        # source catalog from a pruned metadata-scale read — deriving it
+        # via token_ds.unique() would re-execute the read+tokenize
+        # lineage a second time (the measured branched-lineage pitfall)
+        srcs = None
+        if src.format == "parquet":
+            srcs = ray.data.read_parquet(src.paths, columns=["source"]).unique(
+                "source"
+            )
+        ds = source_policy_filter(
+            ds, sources=srcs, concurrency=spec.policy.concurrency
+        )
 
     if spec.throttle:
         from dataflowkit_ray.stages.policy import throttle as _throttle

@@ -35,6 +35,69 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+
+def _emit_topk_rows(sims: np.ndarray, ids: np.ndarray, qids: np.ndarray, k: int) -> pa.Table:
+    """Per-batch partial top-k rows from a (Q, B) sim matrix (shared by
+    the brute and IVF paths; entries <= -2.0 are masked out)."""
+    rows = {"query_id": [], "neighbor_id": [], "sim": []}
+    top = min(k + 1, sims.shape[1])  # +1: a self-match may occupy a slot
+    for qi in range(sims.shape[0]):
+        s = sims[qi]
+        idx = np.argpartition(-s, top - 1)[:top]
+        # deterministic order: sim desc, id asc
+        idx = idx[np.lexsort((ids[idx], -s[idx]))]
+        for j in idx:
+            if s[j] <= -2.0 or ids[j] == qids[qi]:
+                continue
+            rows["query_id"].append(int(qids[qi]))
+            rows["neighbor_id"].append(int(ids[j]))
+            rows["sim"].append(float(s[j]))
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+            "sim": pa.array(rows["sim"], pa.float64()),
+        }
+    )
+
+
+def _merge_topk(partials, k: int):
+    """Global top-k per query over the partial rows: one bucket shuffle
+    on query_id + a vectorized per-bucket rank (shared final stage)."""
+    from dataflowkit_ray.stages.windows import bucket_of
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t["query_id"], 16)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        qids = t["query_id"].to_numpy(zero_copy_only=False)
+        nids = t["neighbor_id"].to_numpy(zero_copy_only=False)
+        sims = t["sim"].to_numpy(zero_copy_only=False)
+        out = {"query_id": [], "neighbor_id": [], "sim": [], "rank": []}
+        for q_ in np.unique(qids):
+            m = qids == q_
+            order = np.lexsort((nids[m], -sims[m]))[:k]
+            for r, j in enumerate(order):
+                out["query_id"].append(int(q_))
+                out["neighbor_id"].append(int(nids[m][j]))
+                out["sim"].append(float(sims[m][j]))
+                out["rank"].append(r + 1)
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+                "rank": pa.array(out["rank"], pa.int64()),
+            }
+        )
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(lambda t: finalize(t.drop_columns(["_bucket"])), batch_format="pyarrow")
+    )
+
+
 def brute_topk(
     ds,
     query_vecs: np.ndarray,
@@ -64,62 +127,10 @@ def brute_topk(
             else t[id_col]
         ).to_numpy(zero_copy_only=False)
         sims = np.round(qm @ m.T, 6)  # (Q, B)
-        rows = {"query_id": [], "neighbor_id": [], "sim": []}
-        top = min(k + 1, sims.shape[1])  # +1: a self-match may occupy a slot
-        for qi in range(sims.shape[0]):
-            s = sims[qi]
-            idx = np.argpartition(-s, top - 1)[:top]
-            # deterministic order: sim desc, id asc
-            idx = idx[np.lexsort((ids[idx], -s[idx]))]
-            for j in idx:
-                if ids[j] == qid[qi]:
-                    continue
-                rows["query_id"].append(int(qid[qi]))
-                rows["neighbor_id"].append(int(ids[j]))
-                rows["sim"].append(float(s[j]))
-        return pa.table(
-            {
-                "query_id": pa.array(rows["query_id"], pa.int64()),
-                "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
-                "sim": pa.array(rows["sim"], pa.float64()),
-            }
-        )
+        return _emit_topk_rows(sims, ids, qid, k)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def finalize(t: pa.Table) -> pa.Table:
-        qids = t["query_id"].to_numpy(zero_copy_only=False)
-        nids = t["neighbor_id"].to_numpy(zero_copy_only=False)
-        sims = t["sim"].to_numpy(zero_copy_only=False)
-        out = {"query_id": [], "neighbor_id": [], "sim": [], "rank": []}
-        for q_ in np.unique(qids):
-            m = qids == q_
-            order = np.lexsort((nids[m], -sims[m]))[:k]
-            for r, j in enumerate(order):
-                out["query_id"].append(int(q_))
-                out["neighbor_id"].append(int(nids[m][j]))
-                out["sim"].append(float(sims[m][j]))
-                out["rank"].append(r + 1)
-        return pa.table(
-            {
-                "query_id": pa.array(out["query_id"], pa.int64()),
-                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-                "sim": pa.array(out["sim"], pa.float64()),
-                "rank": pa.array(out["rank"], pa.int64()),
-            }
-        )
-
-    # per-query partials are tiny (k+1 per batch); one bucket shuffle on query_id
-    from dataflowkit_ray.stages.windows import bucket_of
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("_bucket", pa.array(bucket_of(t["query_id"], 16)))
-
-    return (
-        partials.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(lambda t: finalize(t.drop_columns(["_bucket"])), batch_format="pyarrow")
-    )
+    return _merge_topk(partials, k)
 
 
 def cosine_dup_pairs(
@@ -450,63 +461,16 @@ def ivf_topk(
         ).to_numpy(zero_copy_only=False)
         cell = np.argmax(m @ cm.T, axis=1)  # (B,)
         sims = np.round(qm @ m.T, 6)  # (Q, B)
-        # mask out rows whose cell is not probed by the query
+        # mask out rows whose cell is not probed by the query (-2.0 is
+        # the shared emit helper's masked-entry sentinel)
         probed = np.zeros((len(qm), len(cm)), dtype=bool)
         for qi in range(len(qm)):
             probed[qi, pr[qi]] = True
         mask = probed[:, cell]  # (Q, B)
         sims = np.where(mask, sims, -2.0)
-        rows = {"query_id": [], "neighbor_id": [], "sim": []}
-        top = min(k + 1, sims.shape[1])
-        for qi in range(sims.shape[0]):
-            s = sims[qi]
-            idx = np.argpartition(-s, top - 1)[:top]
-            idx = idx[np.lexsort((ids[idx], -s[idx]))]
-            for j in idx:
-                if s[j] <= -2.0 or ids[j] == qids[qi]:
-                    continue
-                rows["query_id"].append(int(qids[qi]))
-                rows["neighbor_id"].append(int(ids[j]))
-                rows["sim"].append(float(s[j]))
-        return pa.table(
-            {
-                "query_id": pa.array(rows["query_id"], pa.int64()),
-                "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
-                "sim": pa.array(rows["sim"], pa.float64()),
-            }
-        )
+        return _emit_topk_rows(sims, ids, qids, k)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    from dataflowkit_ray.stages.windows import bucket_of
+    return _merge_topk(partials, k)
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("_bucket", pa.array(bucket_of(t["query_id"], 16)))
-
-    def finalize(t: pa.Table) -> pa.Table:
-        qids = t["query_id"].to_numpy(zero_copy_only=False)
-        nids = t["neighbor_id"].to_numpy(zero_copy_only=False)
-        sims = t["sim"].to_numpy(zero_copy_only=False)
-        out = {"query_id": [], "neighbor_id": [], "sim": [], "rank": []}
-        for q_ in np.unique(qids):
-            msk = qids == q_
-            order = np.lexsort((nids[msk], -sims[msk]))[:k]
-            for r, j in enumerate(order):
-                out["query_id"].append(int(q_))
-                out["neighbor_id"].append(int(nids[msk][j]))
-                out["sim"].append(float(sims[msk][j]))
-                out["rank"].append(r + 1)
-        return pa.table(
-            {
-                "query_id": pa.array(out["query_id"], pa.int64()),
-                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-                "sim": pa.array(out["sim"], pa.float64()),
-                "rank": pa.array(out["rank"], pa.int64()),
-            }
-        )
-
-    return (
-        partials.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(lambda t: finalize(t.drop_columns(["_bucket"])), batch_format="pyarrow")
-    )

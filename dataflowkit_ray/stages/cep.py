@@ -195,10 +195,16 @@ def match_pattern_batch(pattern: Pattern, carry: tuple[str, ...] = ("doc_id", "s
                 alive = np.ones(len(pos), dtype=bool)
                 for j in range(1, L):
                     pj = step_pos[j]
+                    if len(pj) == 0:
+                        # a later step matches nothing in this batch —
+                        # every candidate dies (indexing an empty array
+                        # below would raise)
+                        alive[:] = False
+                        break
                     idx = np.searchsorted(pj, pos, side="right")
                     has = idx < len(pj)
                     nxt = np.where(
-                        has, pj[np.minimum(idx, max(len(pj) - 1, 0))], np.int64(1 << 62)
+                        has, pj[np.minimum(idx, len(pj) - 1)], np.int64(1 << 62)
                     )
                     ok = (
                         has

@@ -52,9 +52,10 @@ class SourcePolicyFilter:
         )
         per_row = thresh[d.indices.to_numpy(zero_copy_only=False)]
         n_tok = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.filter(pa.array(n_tok >= per_row)).select(
-            ["doc_id", "n_tok", "source"]
-        )
+        # keep the FULL stream schema: the policy is a row filter, and
+        # downstream spec stages (pattern/join/window) still need
+        # tokens/event_seq — projection is the caller's decision
+        return t.filter(pa.array(n_tok >= per_row))
 
 
 class ThrottleStage:

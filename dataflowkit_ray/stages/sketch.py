@@ -177,7 +177,7 @@ def grouped_quantiles(
         if n == 0:
             cols = {k: t[k] for k in key_list}
             for qn in qnames:
-                cols[qn] = pa.array([], pa.int64())
+                cols[qn] = t[value_col].slice(0, 0)  # preserve value dtype
             return pa.table(cols)
         # group code per row over the composite key
         codes = np.zeros(n, dtype=np.int64)
@@ -192,7 +192,9 @@ def grouped_quantiles(
             codes = codes * max(1, len(d.dictionary)) + idx
             dicts.append(d)
             mult *= max(1, len(d.dictionary))
-        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # native dtype preserved: int64 cast here silently truncated
+        # float-valued columns (e.g. latencies) to zeros
+        vals = t[value_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((vals, codes))
         sc, sv = codes[order], vals[order]
         new = np.ones(n, dtype=bool)

@@ -47,10 +47,13 @@ class StagingBuffer:
 
     This is what lets map_batches TASKS send epoch data to shard actors
     directly (the driver never touches rows): a retried/re-executed task
-    re-sends the same deterministic ``chunk_seq`` keys and simply
-    overwrites identical bytes; ``drain`` concatenates once, in chunk
-    order, when the driver seals the epoch.  Staged data is NOT part of
-    any checkpoint — a resumed epoch is re-sent from the source."""
+    re-sends the same deterministic chunk keys and simply overwrites
+    identical bytes; ``drain`` concatenates once, in key order, when the
+    driver seals the epoch.  Keys are ``(chunk_seq, first row id of the
+    piece)`` so a chunk whose output block Ray split across tasks stages
+    each piece separately instead of overwriting.  Staged data is NOT
+    part of any checkpoint — a resumed epoch is re-sent from the
+    source."""
 
     def __init__(self):
         self.staged: dict[int, dict] = {}
@@ -236,10 +239,11 @@ class JoinStateShard:
         out = self._probe_table(epoch, side, bytes_to_table(blob))
         return table_to_bytes(out) if out is not None else b""
 
-    def stage(self, epoch: int, side: str, chunk_seq: int, blob: bytes) -> None:
-        """Idempotent per (epoch, side, chunk_seq) — called from inside
-        map_batches tasks; see :class:`StagingBuffer`."""
-        self.staging.stage(epoch, (side, chunk_seq), blob, self.sealed_through)
+    def stage(self, epoch: int, side: str, chunk_key, blob: bytes) -> None:
+        """Idempotent per (epoch, side, chunk_key) — called from inside
+        map_batches tasks; ``chunk_key`` = (chunk_seq, first row id of
+        the piece), see :class:`StagingBuffer`."""
+        self.staging.stage(epoch, (side, chunk_key), blob, self.sealed_through)
 
     def seal_to_sink(
         self, epoch: int, parts_dir: str, part_idx: int, sort_col: str = "doc_id"
@@ -275,13 +279,21 @@ class JoinStateShard:
         return write_sink_part(parts_dir, epoch, part_idx, out)
 
     def _probe_table(self, epoch: int, side: str, t: pa.Table) -> pa.Table | None:
-        if "chunk_seq" in t.column_names:
-            t = t.drop_columns(["chunk_seq"])
-        if "partition_id" in t.column_names:
-            t = t.drop_columns(["partition_id"])
+        for aux in ("chunk_seq", "partition_id", "_chunk_row"):
+            if aux in t.column_names:
+                t = t.drop_columns([aux])
         docs = t["doc_id"].to_pylist()
         if side == "left":
-            keep = [i for i, d in enumerate(docs) if d not in self.left_idx]
+            # keep-first must also hold WITHIN a batch: track batch-local
+            # keys, else both copies land in the buffer with the index
+            # pointing at the last (contract break + dup_lefts undercount)
+            seen_in_batch: set = set()
+            keep = []
+            for i, d in enumerate(docs):
+                if d in self.left_idx or d in seen_in_batch:
+                    continue
+                seen_in_batch.add(d)
+                keep.append(i)
             self.dup_lefts += len(docs) - len(keep)
             if len(keep) < len(docs):
                 t = t.take(pa.array(keep, pa.int64()))

@@ -244,11 +244,17 @@ def full_hash64(arr) -> "np.ndarray":
     import hashlib
 
     import pyarrow as _pa
+    import pyarrow.compute as _pc
 
     if isinstance(arr, _pa.ChunkedArray):
         arr = arr.combine_chunks()
     if _pa.types.is_integer(arr.type):
+        # nulls hash as 0 (to_numpy would smuggle NaN through the cast)
+        arr = _pc.fill_null(arr, 0)
         return fnv1a64_numpy(arr.to_numpy(zero_copy_only=False).astype(np.int64))
+    # nulls hash like the empty string (dictionary_encode keeps them as
+    # null INDICES, which to_numpy turns into float NaN -> IndexError)
+    arr = _pc.fill_null(arr, "")
     d = arr.dictionary_encode()
     uniq = d.dictionary.to_pylist()
     uh = np.fromiter(

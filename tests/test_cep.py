@@ -181,3 +181,11 @@ def test_vectorized_gap_scan_equals_scalar_random():
             for s, e in _scan_gaps(np.asarray(seq, dtype=np.int64), pat):
                 exp_rows.append((str(r), s, e))
         assert got_rows == sorted(exp_rows), (trial, mode, seqs, steps)
+
+
+def test_gapped_pattern_with_absent_later_step():
+    """Regression: a later step matching NOTHING in the batch must yield
+    zero matches, not an IndexError (empty step position array)."""
+    pat = Pattern(steps=(Step(literal=1), Step(literal=9, max_gap=2)), mode="nonoverlapping")
+    out = match_pattern_batch(pat)(_batch([[1, 2, 3], [1, 1, 2]]))
+    assert len(out) == 0

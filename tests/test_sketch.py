@@ -88,3 +88,22 @@ def test_grouped_quantiles_match_numpy(ray_session):
         for q, col in ((0.5, "q50"), (0.9, "q90")):
             pos = max(0, int(np.ceil(q * len(sv))) - 1)
             assert got.loc[k, col] == sv[pos], (k, col)
+
+
+def test_grouped_quantiles_float_values(ray_session):
+    """Regression: float value columns keep their dtype (an int64 cast
+    silently truncated them to zeros)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dataflowkit_ray.stages.sketch import grouped_quantiles
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 5),
+            "v": pa.array([0.1, 0.9, 0.5, 0.7, 0.3], pa.float64()),
+        }
+    )
+    got = grouped_quantiles(ray.data.from_arrow(t), ("k",), "v", (0.5,)).to_pandas()
+    assert got.loc[0, "q50"] == 0.5

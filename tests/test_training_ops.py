@@ -199,3 +199,28 @@ def test_ivf_topk_exact_at_full_probe_and_recall_at_partial(ray_session):
     assert len(ps & bs) >= 0.4 * len(bs)
     merged = part.merge(brute, on=["query_id", "neighbor_id"], suffixes=("_p", "_b"))
     assert (merged.sim_p == merged.sim_b).all()
+
+
+def test_exact_dedup_handles_null_text(ray_session):
+    """Regression: null text rows hash like '' (the crc64 behavior) and
+    must not crash the dictionary-encoded hash path."""
+    import pyarrow as pa
+    import ray.data
+
+    from dataflowkit_ray.stages.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a", None, "a", ""], pa.string()),
+        }
+    )
+    got = (
+        exact_dedup(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 'a' (docs 1,3) merges; None and '' hash identically (docs 2,4 merge)
+    assert list(got.doc_id) == [1, 2]
+    assert list(got.n_copies) == [2, 2]
