@@ -400,6 +400,17 @@ def q_quantiles(sf_dir: str):
     )
 
 
+def q_avg_tok(sf_dir: str):
+    """Mean token count per source — the derived (sum, count) aggregate
+    riding one bucket shuffle (stages/agg.py ``mean``)."""
+    from dataflowkit_ray.stages.agg import hash_agg
+
+    ds = load_token_stream(sf_dir).map_batches(
+        lambda t: t.select(["source", "n_tok"]), batch_format="pyarrow"
+    )
+    return hash_agg(ds, ("source",), [("n_tok", "mean", "avg_n_tok")])
+
+
 # ----------------------------------------------------------------- oracles
 
 
@@ -547,7 +558,13 @@ QUERIES = {
     "asof_profile": q_asof_profile,
     "source_policy": q_source_policy,
     "quantiles": q_quantiles,
+    "avg_tok": q_avg_tok,
 }
+
+ORACLES["avg_tok"] = f"""
+    WITH {TOKEN_CTE}
+    SELECT source, avg(n_tok) AS avg_n_tok FROM tok GROUP BY source
+"""
 
 ORACLES["quantiles"] = f"""
     WITH {TOKEN_CTE}

@@ -47,7 +47,11 @@ def hash_agg(
     batch_size: int | None = None,
     combine: bool = True,
 ):
-    """``specs`` = [(col, fn, out_name)] with fn in sum/count/min/max.
+    """``specs`` = [(col, fn, out_name)] with fn in sum/count/min/max/mean.
+
+    ``mean`` is a DERIVED aggregate: it rides the shuffle as (sum, count)
+    partials — the only decomposition that merges correctly — and the
+    division happens once per key in phase 2 (float64 output).
 
     ``combine=False`` skips phase 1 when the input is already one row per
     key per batch (e.g. outputs of a per-batch combiner upstream).
@@ -60,6 +64,17 @@ def hash_agg(
     64-way parallel).  Set it only on an unfused combiner stage.
     """
     key_list = list(keys)
+    # expand mean -> (sum, count) partial pair + a finalize division
+    expanded: list[tuple[str, str, str]] = []
+    mean_final: list[tuple[str, str, str]] = []  # (out, sum_partial, cnt_partial)
+    for i, (c, fn, out) in enumerate(specs):
+        if fn == "mean":
+            expanded.append((c, "sum", f"__msum{i}"))
+            expanded.append((c, "count", f"__mcnt{i}"))
+            mean_final.append((out, f"__msum{i}", f"__mcnt{i}"))
+        else:
+            expanded.append((c, fn, out))
+    specs = expanded
     partial_names = [f"__p{i}" for i in range(len(specs))]
     merge_aggs = [(p, _MERGE[fn]) for p, (_, fn, _) in zip(partial_names, specs)]
     out_names = [out for _, _, out in specs]
@@ -87,6 +102,15 @@ def hash_agg(
 
     def phase2(t: pa.Table) -> pa.Table:
         g = t.drop_columns(["_bucket"]).group_by(key_list).aggregate(merge_aggs)
-        return g.rename_columns(key_list + out_names)
+        g = g.rename_columns(key_list + out_names)
+        for out, ps, pc_ in mean_final:
+            s = g[ps].to_numpy(zero_copy_only=False).astype(np.float64)
+            c = g[pc_].to_numpy(zero_copy_only=False).astype(np.float64)
+            g = g.append_column(out, pa.array(s / np.maximum(c, 1.0)))
+        if mean_final:
+            g = g.drop_columns(
+                [p for _, ps, pc_ in mean_final for p in (ps, pc_)]
+            )
+        return g
 
     return partials.groupby("_bucket").map_groups(phase2, batch_format="pyarrow")

@@ -135,3 +135,34 @@ def test_topk_sources(sf_dir):
     raw = load_token_stream(sf_dir).to_pandas()
     exp = raw.groupby("source").n_tok.sum().sort_values(ascending=False)
     assert top.total_n_tok.tolist() == exp.head(3).tolist()
+
+
+def test_hash_agg_mean(ray_session):
+    """mean rides the shuffle as (sum, count) partials; division happens
+    once per key in phase 2."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dataflowkit_ray.stages.agg import hash_agg
+
+    rng = np.random.RandomState(5)
+    t = pa.table(
+        {
+            "k": pa.array([f"g{int(x)}" for x in rng.randint(0, 9, 2000)]),
+            "v": pa.array(rng.randint(0, 100, 2000).astype(np.int64)),
+        }
+    )
+    got = (
+        hash_agg(
+            ray.data.from_arrow(t).repartition(6),
+            ("k",),
+            [("v", "mean", "avg_v"), ("v", "sum", "sum_v")],
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    exp = t.to_pandas().groupby("k").v.agg(["mean", "sum"])
+    assert np.allclose(got.avg_v, exp["mean"])
+    assert (got.sum_v == exp["sum"]).all()
