@@ -82,3 +82,25 @@ def test_window_late_rows_counted(ray_session):
     ray.get(a.merge.remote(1, table_to_bytes(_t(source=["s"], window_id=[2], m=[7]))))
     stats = ray.get(a.stats.remote())
     assert stats == {"open_windows": 0, "late_rows": 1}
+
+
+def test_staging_buffer_split_chunk_and_retry():
+    """A chunk arriving as two pieces (Ray block split) keeps BOTH under
+    distinct (chunk, first_row) keys; a retried task re-sending the same
+    keys does not duplicate; drain concatenates in key order once."""
+    import pyarrow as pa
+
+    from dataflowkit_ray.state.store import StagingBuffer, table_to_bytes
+
+    sb = StagingBuffer()
+    p1 = pa.table({"v": pa.array([1, 2], pa.int64())})
+    p2 = pa.table({"v": pa.array([3], pa.int64())})
+    sb.stage(5, (7, 0), table_to_bytes(p1), last_applied=4)
+    sb.stage(5, (7, 2), table_to_bytes(p2), last_applied=4)
+    # retry: same keys, same bytes — idempotent
+    sb.stage(5, (7, 0), table_to_bytes(p1), last_applied=4)
+    # stale epoch ignored
+    sb.stage(4, (1, 0), table_to_bytes(p1), last_applied=4)
+    out = sb.drain(5)
+    assert out["v"].to_pylist() == [1, 2, 3]
+    assert sb.drain(5) is None  # drained exactly once
