@@ -53,7 +53,7 @@ class WindowSpec:
 @dataclass
 class AggSpec:
     column: str
-    fn: str  # sum | count | min | max
+    fn: str  # sum | count | min | max | mean
     out: str
 
 
@@ -110,6 +110,20 @@ class ThrottleSpec:
 
 
 @dataclass
+class AsofSpec:
+    """As-of join branch: the current (left) stream picks up the most
+    recent right row with ``right_on <= left_on`` per ``key``.  The right
+    side is its own source read (column-pruned), so the spec covers the
+    cookie-store / config-lookup shape end-to-end."""
+
+    right_paths: list[str]
+    key: str
+    left_on: str
+    right_on: str
+    right_columns: list[str] | None = None
+
+
+@dataclass
 class SinkSpec:
     path: str
     format: str = "parquet"  # parquet | csv | json | jsonl | xml | xlsx
@@ -129,6 +143,7 @@ class PipelineSpec:
     dedup: DedupSpec | None = None
     policy: PolicySpec | None = None
     throttle: ThrottleSpec | None = None
+    asof: AsofSpec | None = None
     sink: SinkSpec | None = None
 
     # ------------------------------------------------------- serialization
@@ -162,6 +177,7 @@ class PipelineSpec:
             ),
             join=JoinSpec(**d["join"]) if d.get("join") else None,
             dedup=DedupSpec(**d["dedup"]) if d.get("dedup") else None,
+            asof=AsofSpec(**d["asof"]) if d.get("asof") else None,
             policy=PolicySpec(**d["policy"]) if d.get("policy") else None,
             throttle=ThrottleSpec(**d["throttle"]) if d.get("throttle") else None,
             sink=SinkSpec(**d["sink"]) if d.get("sink") else None,
@@ -171,7 +187,7 @@ class PipelineSpec:
 _SOURCE_FORMATS = ("parquet", "csv", "json")
 _SINK_FORMATS = ("parquet", "csv", "json", "jsonl", "xml", "xlsx")
 _WINDOW_KINDS = ("tumbling", "sliding", "session")
-_AGG_FNS = ("sum", "count", "min", "max")
+_AGG_FNS = ("sum", "count", "min", "max", "mean")
 
 
 def validate_spec(spec: PipelineSpec) -> None:
@@ -227,6 +243,11 @@ def validate_spec(spec: PipelineSpec) -> None:
         raise SpecError("source policy applies to the token stream: source.tokenize=true")
     if spec.throttle and spec.throttle.rows_per_sec <= 0:
         raise SpecError("throttle rows_per_sec must be > 0")
+    if spec.asof:
+        if not spec.asof.right_paths:
+            raise SpecError("asof needs >= 1 right path")
+        if spec.asof.left_on == spec.asof.right_on:
+            raise SpecError("asof left_on/right_on must be distinct column names")
     if spec.sink and spec.sink.format not in _SINK_FORMATS:
         raise SpecError(
             f"unsupported sink format {spec.sink.format!r}; one of {_SINK_FORMATS}"
@@ -313,6 +334,15 @@ def build_pipeline(spec: PipelineSpec):
             ds, max_hamming=dd.max_hamming, text_col=dd.text_col, id_col=dd.id_col
         )
 
+
+    if spec.asof:
+        from dataflowkit_ray.stages.asof import asof_join
+
+        a = spec.asof
+        right = ray.data.read_parquet(a.right_paths, columns=a.right_columns)
+        ds = asof_join(
+            ds, right, key=a.key, left_on=a.left_on, right_on=a.right_on
+        )
 
     if spec.pattern:
         pat = Pattern(

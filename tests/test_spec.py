@@ -296,3 +296,56 @@ def test_spec_dedup_policy_throttle(ray_session, tmp_path):
     ).to_pandas()
     exp_n = (full.n_tok >= full.source.map(policy_for_source)).sum()
     assert len(out) == exp_n
+
+
+def test_spec_asof_branch(ray_session, tmp_path):
+    """AsofSpec: left stream picks up the latest right row per key."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dataflowkit_ray.spec import AsofSpec
+    from dataflowkit_ray.stages.asof import asof_join
+
+    lt = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "text": pa.array(["a b", "c d", "e f", "g h"]),
+            "source": pa.array(["s"] * 4),
+            "lts": pa.array([10, 20, 15, 5], pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2], pa.int64()),
+            "rts": pa.array([5, 15, 10], pa.int64()),
+            "cfg": pa.array([100, 200, 300], pa.int64()),
+        }
+    )
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    pq.write_table(lt, lp)
+    pq.write_table(rt, rp)
+    spec = PipelineSpec(
+        name="asof",
+        source=SourceSpec(paths=[lp], tokenize=False),
+        asof=AsofSpec(right_paths=[rp], key="doc_id", left_on="lts", right_on="rts"),
+    )
+    got = (
+        build_pipeline(spec).to_pandas().sort_values(["doc_id", "lts"]).reset_index(drop=True)
+    )
+    exp = (
+        asof_join(
+            ray.data.from_arrow(lt),
+            ray.data.from_arrow(rt),
+            key="doc_id",
+            left_on="lts",
+            right_on="rts",
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "lts"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    # semantic spot-checks: (1,10)->rts 5; (1,20)->15; (2,15)->10; (2,5)->none
+    assert len(got) == 3
+    assert list(got.rts) == [5, 15, 10]
