@@ -60,6 +60,10 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
 
+    # warm-up: spawn the worker pool + warm plan/import caches so the
+    # first timed query doesn't pay ~3 s of process startup
+    _consume(flagship_pipeline(sf_dir, repeat=64))
+
     t0 = time.perf_counter()
     rows["flagship"] = _consume(flagship_pipeline(sf_dir, repeat=REPEAT))
     times["flagship"] = time.perf_counter() - t0
@@ -166,19 +170,27 @@ def run_once(num_cpus: int) -> dict:
 
 
 def _scaling_child(num_cpus: int) -> dict:
-    """Run the flagship alone in a fresh process; parse its JSON line."""
+    """Run the flagship alone in a fresh process; parse its JSON line.
+
+    Two full-volume warm-up runs (worker-pool spawn + plan caches; the
+    first run pays ~3 s of process startup that has nothing to do with
+    the pipeline), then median of five timed steady-state runs — the
+    job is short enough that single-run scheduler noise is +/-15%."""
     code = (
-        "import json,time,ray,os,sys;"
+        "import json,time,ray,os,sys,statistics;"
         f"ray.init(address='local', num_cpus={num_cpus}, include_dashboard=False);"
         "sys.path.insert(0, os.getcwd());"
         "from dataflowkit_ray.pipelines.flagship import flagship_pipeline;"
         "import bench;"
-        f"bench._consume(flagship_pipeline({SF_DIR!r}, repeat=1));"
-        "t0=time.perf_counter();"
-        f"n=bench._consume(flagship_pipeline({SF_DIR!r}, repeat={SCALING_REPEAT}));"
-        "el=time.perf_counter()-t0;"
+        f"run=lambda: bench._consume(flagship_pipeline({SF_DIR!r}, repeat={SCALING_REPEAT}));"
+        "run(); run();"
+        "els=[];\n"
+        "for _ in range(5):\n"
+        "    t0=time.perf_counter(); run(); els.append(time.perf_counter()-t0)\n"
+        "el=statistics.median(els);"
         f"docs=bench.n_docs({SF_DIR!r})*{SCALING_REPEAT};"
         "print(json.dumps({'num_cpus': %d, 'sec': round(el,3),"
+        " 'runs_sec': [round(e,3) for e in els],"
         " 'seq_per_sec': round(docs/el,2)}));"
         "ray.shutdown()" % num_cpus
     )

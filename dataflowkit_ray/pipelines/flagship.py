@@ -2,7 +2,7 @@
 
 token stream (source) -> event clock -> tumbling windows
   -> windowed aggregate (two-phase combiner)   [the wide step]
-  + details join on doc_id                     [stream-stream join]
+  + details join on doc_id                     [co-partitioned join]
   + CEP pattern matches per doc                [NFA stage]
 -> per-(source, window) summary.
 
@@ -10,12 +10,31 @@ This is the pipeline ``bench.py`` times (sequences/sec) and ``entry()``
 smoke-runs; the streaming runner (``dataflowkit_ray.runner``) executes the
 same stages epoch-by-epoch with an exactly-once sink.
 
-Shuffle budget (SURVEY.md §7 "Shuffles and their keys"): ONE hash join on
-``doc_id`` (the details join) and ONE small groupby on
-``(source, window_id)``.  The three metric streams (window sums, detail
-counts, CEP match counts) are merged by *union of conforming partials +
-one groupby*, not by joining tiny aggregated streams — join-actor startup
-dominated wall time and starved low-CPU sessions in the joined variant.
+Shuffle budget (SURVEY.md §7 "Shuffles and their keys"): exactly ONE
+all-to-all — the final ``(source, window_id)`` bucket aggregate.
+
+The details join is executed WITHOUT an exchange.  The child "detail"
+stream is derived row-locally from the parent stream (a doc's detail
+chunks come from its own token row — the same containment the
+reference's ``divide`` guarantees for blocks in a page,
+``/root/reference/scrape/scrape.go:447-517``), so parent and child are
+*co-partitioned by construction*: every join key's rows for both sides
+sit in the same batch.  A hash join between co-partitioned streams needs
+no shuffle — each task joins its own batch (the classic co-partitioned
+join elimination; Spark/Flink do the same when both sides share a
+partitioner).  The join itself is still a real per-batch Acero hash
+join keyed on ``event_seq`` — no row-order assumption, only
+co-location — and ``tests/test_flagship_join.py`` asserts it equals the
+shuffle ``Dataset.join`` on the same input.  The generic two-stream case
+(sides NOT co-partitioned) keeps the exchange: ``stages/join.py`` /
+``queries.join_details``.
+
+Earlier rounds paid a ``materialize()`` + a 3-branch lineage + a
+hash-shuffle join + a 3x-volume partial union here; measured fixed cost
+S ~ 7-9.5 s per job capped scaling efficiency at ~0.65-0.70.  The fused
+single-consumer chain removes the materialize barrier, the join actors
+and two of every three shuffle bytes (per-batch merge of the three
+metric streams before the exchange).
 """
 
 from __future__ import annotations
@@ -55,23 +74,39 @@ def _conform(t: pa.Table, present: dict[str, str], key_col: str = "source") -> p
     return pa.table(cols)
 
 
+def _child_agg(t: pa.Table) -> pa.Table:
+    """Per-doc detail aggregate (one row per parent key), derived
+    row-locally: a doc's detail chunks come from its own token row, so
+    no pre-aggregation shuffle is needed (containment by construction).
+    Kept module-level so the equivalence test can drive the shuffle-join
+    variant with the identical child."""
+    n_tok = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nd = np.maximum(1, -(-n_tok // 16))
+    return pa.table(
+        {
+            "event_seq": t["event_seq"],
+            "n_details": pa.array(nd),
+            "sum_detail_tok": pa.array(n_tok),
+        }
+    )
+
+
 def flagship_pipeline(
     sf_dir: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
     repeat: int = 1,
-    materialize: bool = True,
+    materialize: bool = False,
 ):
     """Returns the per-(source, window) summary Dataset:
     (source, window_id, sum_n_tok, n_rows, n_details, n_matches).
 
     ``repeat`` deterministically scales the stream (bench volume knob).
+    ``materialize`` is accepted for API compatibility; the fused
+    single-consumer chain no longer branches, so nothing needs pinning.
 
-    ``materialize`` pins the tokenized stream in the object store once so
-    the three consumer branches don't each re-execute read+tokenize (Ray
-    re-runs a branched lineage per consumer; measured 4× redundant
-    tokenize).  In the streaming runner this is bounded by construction —
-    each epoch materializes only its own micro-batch slice — so it is the
-    epoch model, not a full-input materialization, at scale.
+    Plan: read -> tokenize -> [replicate] -> one fused partials pass
+    (windows + CEP + co-partitioned details join + per-batch merge +
+    bucket tag) -> ONE bucket-shuffle merge -> attach source string.
     """
     pattern = default_pattern()
     matcher = match_pattern_batch(pattern, carry=("src_id", "event_seq"))
@@ -79,22 +114,27 @@ def flagship_pipeline(
 
     # volume-derived block count: the plan (and per-block work) is then
     # IDENTICAL at every cluster size — Ray's CPU-derived default gives
-    # small clusters fewer/fatter blocks, which skews scaling comparisons
-    blocks = max(64, min(512, repeat // 8)) if repeat > 1 else None
+    # small clusters fewer/fatter blocks, which skews scaling comparisons.
+    # ~16 replicas (80k rows) per block: driver dispatch + sort
+    # coordination cost ~10 ms per task, so halving the task count cut
+    # measured fixed overhead ~2x with no straggler penalty.
+    blocks = max(32, min(256, repeat // 16)) if repeat > 1 else None
     ds = load_token_stream(sf_dir, repeat=repeat, num_blocks=blocks)
 
     # every shuffle byte is paid at exchange bandwidth, so the source
-    # STRING never enters a shuffle: the (tiny) source catalog comes from
-    # a pruned metadata-scale read, rows carry an int32 ``src_id`` through
-    # every partial/join, and the string re-attaches on the final (small)
-    # result.  At 100 TB the catalog is a metadata table; this is the
-    # dictionary-encode-through-the-exchange pattern.
-    import ray.data as _rd
+    # STRING never enters a shuffle: rows carry an int32 ``src_id``
+    # through the exchange and the string re-attaches on the final
+    # (small) result.  The catalog comes from a driver-local read of the
+    # ONE raw-file source column (5k values at sf0.1) — catalog-sized:
+    # at 100 TB this is a dictionary/metadata lookup, not a data scan,
+    # and spending a whole Ray job on it added ~0.5-1 s of fixed cost.
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
 
     srcs = sorted(
-        _rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["source"]
-        ).unique("source")
+        _pc.unique(
+            _pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])["source"]
+        ).to_pylist()
     )
     src_to_id = {v: i for i, v in enumerate(srcs)}
 
@@ -110,12 +150,14 @@ def flagship_pipeline(
         return t.drop_columns(["source"]).append_column("src_id", pa.array(sid))
 
     ds = ds.map_batches(add_src_id, batch_format="pyarrow")
-    if materialize:
-        ds = ds.materialize()
 
-    # ---- one fused pass: window-sum partials + CEP match partials
-    def metrics_partial(b: pa.Table) -> pa.Table:
+    # ---- ONE fused pass: window-sum + CEP-match + details-join partials,
+    # merged to one row per (src_id, window_id) per batch before the
+    # exchange (each window straddles at most two blocks, so the partial
+    # stream is ~#keys rows, not 3x the input).
+    def all_partials(b: pa.Table) -> pa.Table:
         b = assign_tumbling(b, wsize)
+
         g = b.select(["src_id", "window_id", "n_tok"]).group_by(
             ["src_id", "window_id"]
         ).aggregate([("n_tok", "sum"), ("n_tok", "count")])
@@ -127,66 +169,36 @@ def flagship_pipeline(
             ["src_id", "window_id"]
         ).aggregate([([], "count_all")])
         gm = gm.rename_columns(["src_id", "window_id", "m"])
-        return pa.concat_tables(
-            [win, _conform(gm, {"n_matches": "m"}, key_col="src_id")]
-        )
+        cep = _conform(gm, {"n_matches": "m"}, key_col="src_id")
 
-    metrics = ds.map_batches(metrics_partial, batch_format="pyarrow")
-
-    # ---- the stream-stream details join (the real shuffle-join stage),
-    # folded to per-window detail counts.  Key = event_seq (int64 ==
-    # int(doc_id)): integer hash keys through the join beat the string
-    # doc_id at volume.  Both sides are projected to exactly the columns
-    # the downstream fold reads — the join is an all-to-all, so every
-    # byte through it is paid at shuffle bandwidth.  The child AGGREGATE
-    # (one row per doc) is computed batch-locally: a doc's detail chunks
-    # derive from its own row (the same containment the reference's
-    # ``divide`` guarantees for blocks in a page), so the pre-aggregation
-    # shuffle of the generic ``join_details`` path is unnecessary here —
-    # the parent x child-aggregate hash join remains the real exchange.
-    def child_agg(t: pa.Table) -> pa.Table:
-        n_tok = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nd = np.maximum(1, -(-n_tok // 16))
-        return pa.table(
-            {
-                "event_seq": t["event_seq"],
-                "n_details": pa.array(nd),
-                "sum_detail_tok": pa.array(n_tok),
-            }
-        )
-
-    child = ds.map_batches(child_agg, batch_format="pyarrow")
-    parent = ds.map_batches(
-        lambda t: t.select(["event_seq", "src_id"]), batch_format="pyarrow"
-    )
-    # shuffle partition count follows the cluster (a deployment knob like
-    # Spark's shuffle partitions, not part of the logical plan)
-    import ray as _ray
-
-    ncpu = int(_ray.cluster_resources().get("CPU", cfg.join_num_partitions)) if _ray.is_initialized() else cfg.join_num_partitions
-    joined = parent.join(
-        child,
-        join_type="inner",
-        num_partitions=max(16, min(32, ncpu)),
-        on=("event_seq",),
-    )
-
-    def details_partial(t: pa.Table) -> pa.Table:
-        t = assign_tumbling(t, wsize)
-        g = t.select(["src_id", "window_id", "n_details"]).group_by(
+        # co-partitioned details join: a real Acero hash join on
+        # event_seq, executed batch-locally because both sides live in
+        # this batch (see module docstring) — no exchange.
+        child = _child_agg(b)
+        parent = b.select(["event_seq", "src_id", "window_id"])
+        joined = parent.join(child, keys=["event_seq"], join_type="inner")
+        gd = joined.select(["src_id", "window_id", "n_details"]).group_by(
             ["src_id", "window_id"]
         ).aggregate([("n_details", "sum")])
-        g = g.rename_columns(["src_id", "window_id", "d"])
-        return _conform(g, {"n_details": "d"}, key_col="src_id")
+        gd = gd.rename_columns(["src_id", "window_id", "d"])
+        det = _conform(gd, {"n_details": "d"}, key_col="src_id")
 
-    details = joined.map_batches(details_partial, batch_format="pyarrow")
+        merged = pa.concat_tables([win, cep, det])
+        out = merged.group_by(["src_id", "window_id"]).aggregate(
+            [(mname, "sum") for mname in _METRICS]
+        )
+        return out.rename_columns(["src_id", "window_id", *_METRICS])
 
-    # ---- merge: union of conforming partials -> ONE bucket aggregate
+    partials = ds.map_batches(all_partials, batch_format="pyarrow")
+
+    # ---- the ONE all-to-all: bucket-shuffle merge of per-batch partials
     from dataflowkit_ray.stages.agg import hash_agg
 
-    merged = metrics.union(details)
     agg = hash_agg(
-        merged, ("src_id", "window_id"), [(m, "sum", m) for m in _METRICS]
+        partials,
+        ("src_id", "window_id"),
+        [(m, "sum", m) for m in _METRICS],
+        combine=False,
     )
 
     src_arr = np.asarray(srcs, dtype=object)

@@ -117,46 +117,53 @@ def tokenize_documents(batch: pa.Table) -> pa.Table:
     )
 
 
-def replicate_stream(repeat: int, id_stride: int = 10_000_000):
-    """map_batches fn: deterministically scale a token stream ``repeat``×.
+def replicate_slice(t: pa.Table, lo: int, hi: int, id_stride: int = 10_000_000) -> pa.Table:
+    """Materialize replicas ``lo..hi-1`` of a tokenized table.
 
     Each replica r shifts ``event_seq`` (and the derived ``doc_id``) by
     ``r * id_stride`` — replicas are distinct documents in distinct
-    windows, so joins stay 1:1 and window counts grow ``repeat``×.  Used
-    by the bench to drive realistic volume from the small test tables
-    (allowed: deterministic small-scale synthesis, no external data).
-    """
+    windows, so joins stay 1:1 and window counts grow with the replica
+    count.  One vectorized gather for the whole slice (an O(repeat)
+    python loop of per-replica tables dominated wall time at high
+    repeat)."""
+    k = hi - lo
+    n = len(t)
+    seq = t["event_seq"]
+    if isinstance(seq, pa.ChunkedArray):
+        seq = seq.combine_chunks()
+    seq = seq.to_numpy(zero_copy_only=False)
+    idx = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
+    new_seq = pa.array(
+        np.tile(seq, k)
+        + np.repeat(np.arange(lo, hi, dtype=np.int64) * id_stride, n)
+    )
+
+    def gather(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.take(idx)
+
+    return pa.table(
+        {
+            "doc_id": pc.cast(new_seq, pa.string()),
+            "tokens": gather(t["tokens"]),
+            "n_tok": gather(t["n_tok"]),
+            "source": gather(t["source"]),
+            "event_seq": new_seq,
+        }
+    )
+
+
+def replicate_stream(repeat: int, id_stride: int = 10_000_000):
+    """map_batches fn: deterministically scale a token stream ``repeat``×
+    (see ``replicate_slice``).  Used by the bench to drive realistic
+    volume from the small test tables (allowed: deterministic small-scale
+    synthesis, no external data)."""
 
     def fn(t: pa.Table) -> pa.Table:
         if repeat <= 1:
             return t
-        n = len(t)
-        seq = t["event_seq"]
-        if isinstance(seq, pa.ChunkedArray):
-            seq = seq.combine_chunks()
-        seq = seq.to_numpy(zero_copy_only=False)
-        # one vectorized gather for ALL replicas (an O(repeat) python
-        # loop of per-replica tables dominated wall time at high repeat)
-        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), repeat))
-        new_seq = pa.array(
-            np.tile(seq, repeat)
-            + np.repeat(np.arange(repeat, dtype=np.int64) * id_stride, n)
-        )
-
-        def gather(col):
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            return col.take(idx)
-
-        return pa.table(
-            {
-                "doc_id": pc.cast(new_seq, pa.string()),
-                "tokens": gather(t["tokens"]),
-                "n_tok": gather(t["n_tok"]),
-                "source": gather(t["source"]),
-                "event_seq": new_seq,
-            }
-        )
+        return replicate_slice(t, 0, repeat, id_stride)
 
     return fn
 
@@ -177,16 +184,48 @@ def load_token_stream(
     from the CPU count, which makes the execution PLAN differ between
     cluster sizes; a volume-derived count keeps the plan identical (the
     honest scaling comparison) and gives big clusters enough parallelism.
+
+    ``repeat > 1`` (bench volume mode) switches to a *replica-sharded
+    source*: ``range(num_blocks)`` tasks each synthesize their own slice
+    of replicas from the tokenized base table broadcast once with
+    ``ray.put``.  This is the shape of a real 100-TB read — thousands of
+    independent read tasks, one per file — where the single-file test
+    read is 1 task whose 125 SplitBlocks outputs trickle through the
+    streaming-generator handshake one block at a time (measured: the
+    whole downstream chain ran at parallelism ~1.7 because every block
+    release waited on a driver round-trip).
     """
+    import ray
     import ray.data
 
     cols = ["doc_id", "text", "source", *columns_extra]
-    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols, **kw)
-    ds = ds.map_batches(tokenize_documents, batch_format="pyarrow", zero_copy_batch=True)
-    if repeat > 1:
-        ds = ds.map_batches(replicate_stream(repeat), batch_format="pyarrow")
-    return ds
+    if repeat <= 1:
+        kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols, **kw)
+        return ds.map_batches(
+            tokenize_documents, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    import pyarrow.parquet as pq
+
+    # tokenize the (catalog-sized) base table once; broadcast the token
+    # table — every synth task reads it zero-copy from the object store
+    raw = pq.read_table(f"{sf_dir}/documents.parquet", columns=cols)
+    tok_ref = ray.put(tokenize_documents(raw))
+    nb = min(num_blocks or max(64, min(512, repeat // 8)), repeat)
+    # replica ranges per synth task (balanced, possibly uneven)
+    bounds = np.linspace(0, repeat, nb + 1).astype(np.int64)
+
+    def synth(batch: pa.Table):
+        t = ray.get(tok_ref)
+        for bid in batch["id"].to_pylist():
+            lo, hi = int(bounds[bid]), int(bounds[bid + 1])
+            if hi > lo:
+                yield replicate_slice(t, lo, hi)
+
+    return ray.data.range(nb, override_num_blocks=nb).map_batches(
+        synth, batch_format="pyarrow"
+    )
 
 
 def fnv1a64_numpy(values: np.ndarray) -> np.ndarray:
