@@ -74,7 +74,8 @@ def q_ivf_topk(sf_dir: str):
     )
     qv = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
     qi = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    cent = ivf_centroids(_emb(sf_dir), n_centroids=16)
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    cent = ivf_centroids(_emb(sf_dir), n_centroids=16, n_rows=n_rows)
     return ivf_topk(_emb(sf_dir), qv, qi, cent, k=5, n_probe=len(cent))
 
 

@@ -36,27 +36,47 @@ def _unit(m: np.ndarray) -> np.ndarray:
 
 
 
+_TOPK_EMPTY = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "sim": pa.array([], pa.float64()),
+    }
+)
+
+
 def _emit_topk_rows(sims: np.ndarray, ids: np.ndarray, qids: np.ndarray, k: int) -> pa.Table:
     """Per-batch partial top-k rows from a (Q, B) sim matrix (shared by
-    the brute and IVF paths; entries <= -2.0 are masked out)."""
-    rows = {"query_id": [], "neighbor_id": [], "sim": []}
-    top = min(k + 1, sims.shape[1])  # +1: a self-match may occupy a slot
-    for qi in range(sims.shape[0]):
-        s = sims[qi]
-        idx = np.argpartition(-s, top - 1)[:top]
-        # deterministic order: sim desc, id asc
-        idx = idx[np.lexsort((ids[idx], -s[idx]))]
-        for j in idx:
-            if s[j] <= -2.0 or ids[j] == qids[qi]:
-                continue
-            rows["query_id"].append(int(qids[qi]))
-            rows["neighbor_id"].append(int(ids[j]))
-            rows["sim"].append(float(s[j]))
+    the brute and IVF paths; entries <= -2.0 are masked out).
+
+    Fully vectorized: one argpartition over the matrix, one composite-key
+    argsort for the (sim desc, id asc) deterministic order, one boolean
+    gather — no per-query Python (a row-at-a-time loop here was flat at
+    Q=10 but the wrong shape for a 1k-query fan-out).  The composite key
+    relies on sims being rounded to 6 decimals and ids < 2^40."""
+    Q, B = sims.shape
+    if Q == 0 or B == 0:
+        return _TOPK_EMPTY
+    ids = ids.astype(np.int64)
+    top = min(k + 1, B)  # +1: a self-match may occupy a slot
+    if top < B:
+        idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+    else:
+        idx = np.broadcast_to(np.arange(B, dtype=np.int64), (Q, B))
+    nid = ids[idx]  # (Q, top)
+    s = np.take_along_axis(sims, idx, axis=1)
+    si = np.rint(s * 1e6).astype(np.int64)  # exact: sims pre-rounded to 6dp
+    key = (np.int64(2_000_000) - si) * np.int64(1 << 40) + nid
+    order = np.argsort(key, axis=1, kind="stable")
+    nid = np.take_along_axis(nid, order, axis=1)
+    s = np.take_along_axis(s, order, axis=1)
+    qrep = np.repeat(qids.astype(np.int64), top).reshape(Q, top)
+    valid = (s > -2.0) & (nid != qrep)
     return pa.table(
         {
-            "query_id": pa.array(rows["query_id"], pa.int64()),
-            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
-            "sim": pa.array(rows["sim"], pa.float64()),
+            "query_id": pa.array(qrep[valid]),
+            "neighbor_id": pa.array(nid[valid]),
+            "sim": pa.array(s[valid], pa.float64()),
         }
     )
 
@@ -70,24 +90,34 @@ def _merge_topk(partials, k: int):
         return t.append_column("_bucket", pa.array(bucket_of(t["query_id"], 16)))
 
     def finalize(t: pa.Table) -> pa.Table:
-        qids = t["query_id"].to_numpy(zero_copy_only=False)
-        nids = t["neighbor_id"].to_numpy(zero_copy_only=False)
+        """Vectorized per-bucket rank: one lexsort + one segment-relative
+        arange — no per-query Python."""
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        qids = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nids = t["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = t["sim"].to_numpy(zero_copy_only=False)
-        out = {"query_id": [], "neighbor_id": [], "sim": [], "rank": []}
-        for q_ in np.unique(qids):
-            m = qids == q_
-            order = np.lexsort((nids[m], -sims[m]))[:k]
-            for r, j in enumerate(order):
-                out["query_id"].append(int(q_))
-                out["neighbor_id"].append(int(nids[m][j]))
-                out["sim"].append(float(sims[m][j]))
-                out["rank"].append(r + 1)
+        order = np.lexsort((nids, -sims, qids))  # qid asc, sim desc, id asc
+        q_s, n_s, s_s = qids[order], nids[order], sims[order]
+        newq = np.ones(len(q_s), dtype=bool)
+        newq[1:] = q_s[1:] != q_s[:-1]
+        starts = np.nonzero(newq)[0]
+        seg_len = np.diff(np.append(starts, len(q_s)))
+        rank = np.arange(len(q_s), dtype=np.int64) - np.repeat(starts, seg_len)
+        keep = rank < k
         return pa.table(
             {
-                "query_id": pa.array(out["query_id"], pa.int64()),
-                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-                "sim": pa.array(out["sim"], pa.float64()),
-                "rank": pa.array(out["rank"], pa.int64()),
+                "query_id": pa.array(q_s[keep]),
+                "neighbor_id": pa.array(n_s[keep]),
+                "sim": pa.array(s_s[keep], pa.float64()),
+                "rank": pa.array(rank[keep] + 1),
             }
         )
 
@@ -387,18 +417,27 @@ def ivf_centroids(
     ds,
     n_centroids: int = 16,
     n_iters: int = 5,
-    sample_mod: int = 7,
+    sample_cap: int = 4096,
+    n_rows: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic IVF coarse quantizer: k-means over a hash-sampled
-    subset, fixed iteration count, seeds = the sample's first rows.
+    subset with an ABSOLUTE row budget, fixed iteration count, seeds =
+    the sample's lowest-id rows.
 
-    The sample is collected via a distributed filter (keep ids with
-    ``hash(id) % sample_mod == 0``) and only the SAMPLE reaches the
-    driver — the catalog-sized side of IVF, exactly like a real index
-    build.  Lloyd iterations run on the driver over the sample (tiny);
-    the resulting (k, dim) matrix is the broadcastable index."""
+    Scale shape: the sample filter keeps ids with
+    ``hash(id) % (n_rows // sample_cap) == 0``, so ~``sample_cap`` rows
+    reach the driver REGARDLESS of corpus size (an earlier version
+    pulled a fixed 1/7 *fraction* — a corpus-fraction driver pull, wrong
+    at 100 TB; this is the faiss-style train-on-a-bounded-sample build).
+    No distributed sort either: the sample is ordered driver-side.
+    ``n_rows`` avoids a count pass when the caller knows the corpus size
+    (e.g. from parquet metadata); ``ds.count()`` is metadata-only for
+    un-transformed parquet reads."""
+    if n_rows is None:
+        n_rows = ds.count()
+    mod = max(1, n_rows // sample_cap)
 
     def sample(t: pa.Table) -> pa.Table:
         ids = (
@@ -406,13 +445,15 @@ def ivf_centroids(
             if isinstance(t[id_col], pa.ChunkedArray)
             else t[id_col]
         ).to_numpy(zero_copy_only=False).astype(np.uint64)
-        keep = (fnv1a64_numpy(ids) % np.uint64(sample_mod)) == 0
+        keep = (fnv1a64_numpy(ids) % np.uint64(mod)) == 0
         return t.filter(pa.array(keep)).select([id_col, vec_col])
 
-    st = ds.map_batches(sample, batch_format="pyarrow").sort(id_col).take_all()
+    st = ds.map_batches(sample, batch_format="pyarrow").take_all()
+    ids = np.asarray([r[id_col] for r in st], dtype=np.int64)
     m = _unit(np.asarray([r[vec_col] for r in st], dtype=np.float64))
+    m = m[np.argsort(ids)]  # deterministic regardless of arrival order
     k = min(n_centroids, len(m))
-    cent = m[:k].copy()  # deterministic seeds: first k sample rows
+    cent = m[:k].copy()  # deterministic seeds: k lowest-id sample rows
     for _ in range(n_iters):
         assign = np.argmax(m @ cent.T, axis=1)
         for c in range(k):
@@ -421,6 +462,36 @@ def ivf_centroids(
                 cent[c] = members.mean(axis=0)
         cent = _unit(cent)
     return cent
+
+
+def _score_cell(
+    t: pa.Table,
+    qm: np.ndarray,
+    qids: np.ndarray,
+    probed: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> tuple[pa.Table, int]:
+    """Score ONE inverted-list cell against only the queries probing it.
+
+    Returns (partial top-k rows, number of scored (query, vector)
+    entries) — the count is what the probe-shrink pytest asserts on:
+    compute, not just emitted rows, must scale with n_probe."""
+    if len(t) == 0:
+        return _TOPK_EMPTY, 0
+    cell = int(t["_cell"][0].as_py())
+    q_idx = np.nonzero(probed[:, cell])[0]
+    if len(q_idx) == 0:
+        return _TOPK_EMPTY, 0
+    ids = (
+        t[id_col].combine_chunks()
+        if isinstance(t[id_col], pa.ChunkedArray)
+        else t[id_col]
+    ).to_numpy(zero_copy_only=False)
+    m = _unit(_mat(t[vec_col]))
+    sims = np.round(qm[q_idx] @ m.T, 6)  # (Q_probing, cell_size)
+    return _emit_topk_rows(sims, ids, qids[q_idx], k), sims.size
 
 
 def ivf_topk(
@@ -433,44 +504,55 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
-    """IVF-partitioned top-k: each vector belongs to its nearest centroid
-    cell; a query only scans the ``n_probe`` cells nearest to it.
-
-    Per batch: one matmul assigns rows to cells, one matmul scores rows
-    against only the queries probing their cell (mask), then the same
-    partial-top-k -> bucket merge as :func:`brute_topk`.  Recall < 1 by
-    construction (``n_probe = len(centroids)`` degrades to brute force);
-    compute shrinks ~ n_probe / n_centroids.  Centroids + query matrix
-    are one small ``ray.put`` broadcast."""
+    """IVF top-k over real inverted lists: vectors are hash-partitioned
+    by nearest-centroid cell ONCE (the index-build shuffle), and each
+    cell partition is scored ONLY against the queries probing it — so
+    the matmul work itself shrinks ~ n_probe / n_centroids
+    (``tests/test_training_ops.py::test_ivf_scored_rows_shrink`` asserts
+    the scored-entry count, not just the emitted rows; an earlier
+    version computed the full Q x B matrix and masked, which saved
+    nothing).  ``n_probe = len(centroids)`` degrades to exact brute
+    force.  Partitioning assumption: one cell's vectors fit one task —
+    cells are bounded by corpus/n_centroids on mid-scale corpora; size
+    ``n_centroids`` accordingly (sqrt(N) is the classic choice).
+    Centroids + query matrix + probe mask are one small ``ray.put``
+    broadcast; the cell exchange ships each vector exactly once."""
     import ray
 
     q = _unit(np.asarray(query_vecs, dtype=np.float64))
     qid = np.asarray(query_ids, dtype=np.int64)
     cent = np.asarray(centroids, dtype=np.float64)
-    # cells each query probes: n_probe nearest centroids
-    probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (Q, n_probe)
-    ref = ray.put((q, qid, cent, probe))
+    # boolean (Q, K) probe mask: the n_probe nearest centroids per query
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+    probed = np.zeros((len(q), len(cent)), dtype=bool)
+    probed[np.arange(len(q))[:, None], probe] = True
+    ref = ray.put((q, qid, cent, probed))
 
-    def partial(t: pa.Table) -> pa.Table:
-        qm, qids, cm, pr = ray.get(ref)
+    def assign(t: pa.Table) -> pa.Table:
+        """One matmul per batch routes each vector to its cell — the
+        inverted-list build side of the exchange."""
+        _qm, _qi, cm, _pm = ray.get(ref)
         m = _unit(_mat(t[vec_col]))
         ids = (
             t[id_col].combine_chunks()
             if isinstance(t[id_col], pa.ChunkedArray)
             else t[id_col]
-        ).to_numpy(zero_copy_only=False)
-        cell = np.argmax(m @ cm.T, axis=1)  # (B,)
-        sims = np.round(qm @ m.T, 6)  # (Q, B)
-        # mask out rows whose cell is not probed by the query (-2.0 is
-        # the shared emit helper's masked-entry sentinel)
-        probed = np.zeros((len(qm), len(cm)), dtype=bool)
-        for qi in range(len(qm)):
-            probed[qi, pr[qi]] = True
-        mask = probed[:, cell]  # (Q, B)
-        sims = np.where(mask, sims, -2.0)
-        return _emit_topk_rows(sims, ids, qids, k)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = t[vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        cell = np.argmax(m @ cm.T, axis=1).astype(np.int64)
+        return pa.table({"_cell": pa.array(cell), id_col: pa.array(ids), "vec": vecs})
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    def score(t: pa.Table) -> pa.Table:
+        qm, qids, _cm, pm = ray.get(ref)
+        out, _n = _score_cell(t, qm, qids, pm, k, id_col=id_col)
+        return out
 
+    partials = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("_cell")
+        .map_groups(score, batch_format="pyarrow")
+    )
     return _merge_topk(partials, k)
 

@@ -224,3 +224,46 @@ def test_exact_dedup_handles_null_text(ray_session):
     # 'a' (docs 1,3) merges; None and '' hash identically (docs 2,4 merge)
     assert list(got.doc_id) == [1, 2]
     assert list(got.n_copies) == [2, 2]
+
+
+def test_ivf_scored_rows_shrink():
+    """IVF must prune COMPUTE, not just output: the total number of
+    scored (query, vector) entries across cells scales with
+    n_probe / n_centroids, and full probe scores exactly Q x N."""
+    import pyarrow as pa
+
+    from dataflowkit_ray.stages.ann import _score_cell, _unit
+
+    rng = np.random.default_rng(7)
+    n, dim, n_cent, n_q = 400, 16, 8, 10
+    vecs = _unit(rng.normal(size=(n, dim)))
+    cent = _unit(rng.normal(size=(n_cent, dim)))
+    q = _unit(rng.normal(size=(n_q, dim)))
+    qids = np.arange(10_000, 10_000 + n_q, dtype=np.int64)
+    cells = np.argmax(vecs @ cent.T, axis=1)
+
+    def scored_total(n_probe: int) -> int:
+        probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+        probed = np.zeros((n_q, n_cent), dtype=bool)
+        probed[np.arange(n_q)[:, None], probe] = True
+        total = 0
+        for c in range(n_cent):
+            m = cells == c
+            t = pa.table(
+                {
+                    "_cell": pa.array(np.full(m.sum(), c, dtype=np.int64)),
+                    "vec_id": pa.array(np.nonzero(m)[0].astype(np.int64)),
+                    "vec": pa.array(vecs[m].tolist()),
+                }
+            )
+            _tbl, n_scored = _score_cell(t, q, qids, probed, k=5)
+            total += n_scored
+        return total
+
+    full = scored_total(n_cent)
+    assert full == n_q * n  # full probe == brute-force compute
+    half = scored_total(n_cent // 2)
+    quarter = scored_total(n_cent // 4)
+    # cells are uneven, so bound loosely around the proportional shrink
+    assert 0.2 * full <= half <= 0.8 * full
+    assert quarter < half
