@@ -25,7 +25,7 @@ from dataflowkit_ray.checkpoint import CheckpointStore
 from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
 from dataflowkit_ray.sources.microbatch import MicroBatchSource
 from dataflowkit_ray.state.session_store import CEPStateShard, SessionStateShard
-from dataflowkit_ray.state.store import bytes_to_table
+
 
 EVENT_TOKENS = {"view": 1, "click": 2, "signup": 3, "purchase": 4, "error": 5}
 
@@ -173,14 +173,18 @@ class EventStreamRunner:
             ):
                 pass  # acks only (one tiny row per task)
             ray.get([s.seal.remote(epoch) for s in sessions])
-            match_tables = [
-                bytes_to_table(b)
-                for b in ray.get([c.seal.remote(epoch) for c in ceps])
-            ]
+            # each CEP shard writes its OWN match sink part (rows never
+            # transit the driver); only part metadata comes back
+            match_parts = ray.get(
+                [
+                    c.seal_to_sink.remote(epoch, self.match_sink.parts_dir, i)
+                    for i, c in enumerate(ceps)
+                ]
+            )
 
             offsets = new_offsets
             wm = self.source.watermark_clock(offsets)
-            self._commit(epoch, wm, offsets, sessions, ceps, match_tables)
+            self._commit(epoch, wm, offsets, sessions, ceps, match_parts)
             ran += 1
             epoch += 1
 
@@ -205,44 +209,25 @@ class EventStreamRunner:
             ),
         }
 
-    def _commit(self, epoch, wm, offsets, sessions, ceps, match_tables, final=False):
-        import ray.data
-
-        closed = [
-            bytes_to_table(b)
-            for b in ray.get([s.pop_closed.remote(wm) for s in sessions])
-        ]
-        sess_t = pa.concat_tables([t for t in closed if len(t)]) if any(
-            len(t) for t in closed
-        ) else closed[0]
-        self.session_sink.commit_epoch(
-            ray.data.from_arrow(sess_t),
-            epoch,
-            extra={"offsets": offsets, "watermark": int(wm), "final": final},
-            part_col="key" if "key" in sess_t.column_names and len(sess_t) else None,
+    def _commit(self, epoch, wm, offsets, sessions, ceps, match_parts, final=False):
+        """Publish the epoch: every shard writes its own session/match
+        sink part (``seal_to_sink`` pattern — closed-session volume is
+        not driver-sized at scale); the driver assembles MANIFESTS only,
+        then checkpoints."""
+        extra = {"offsets": offsets, "watermark": int(wm), "final": final}
+        sess_parts = ray.get(
+            [
+                s.pop_closed_to_sink.remote(
+                    wm, self.session_sink.parts_dir, epoch, i
+                )
+                for i, s in enumerate(sessions)
+            ]
         )
-        nonempty = [t for t in match_tables if len(t)]
-        match_t = (
-            pa.concat_tables(nonempty)
-            if nonempty
-            else pa.table(
-                {
-                    "key": pa.array([], pa.int64()),
-                    "start_seq": pa.array([], pa.int64()),
-                    "end_seq": pa.array([], pa.int64()),
-                }
-            )
+        self.session_sink.publish_epoch(
+            epoch, [p for p in sess_parts if p], extra=extra
         )
-        if len(match_t):
-            idx = pc.sort_indices(
-                match_t, sort_keys=[("key", "ascending"), ("start_seq", "ascending")]
-            )
-            match_t = match_t.take(idx)
-        self.match_sink.commit_epoch(
-            ray.data.from_arrow(match_t),
-            epoch,
-            extra={"offsets": offsets, "watermark": int(wm), "final": final},
-            part_col="key" if len(match_t) else None,
+        self.match_sink.publish_epoch(
+            epoch, [p for p in match_parts if p], extra=extra
         )
         self.ckpt.write(
             epoch,

@@ -83,8 +83,7 @@ class SessionStateShard:
                 st[2] += 1
             self.open[k] = st
 
-    def pop_closed(self, watermark: int) -> bytes:
-        """Emit pending sessions + open sessions timed out by watermark."""
+    def _pop_closed_table(self, watermark: int) -> pa.Table:
         out = list(self.pending)
         self.pending = []
         for k in sorted(self.open, key=lambda x: (str(x))):
@@ -94,16 +93,33 @@ class SessionStateShard:
                 del self.open[k]
         out.sort(key=lambda r: (str(r[0]), r[1]))
         key_type = pa.int64() if out and isinstance(out[0][0], int) else pa.string()
-        return table_to_bytes(
-            pa.table(
-                {
-                    "key": pa.array([r[0] for r in out], key_type),
-                    "session_id": pa.array([r[1] for r in out], pa.int64()),
-                    "session_end": pa.array([r[2] for r in out], pa.int64()),
-                    "n_events": pa.array([r[3] for r in out], pa.int64()),
-                }
-            )
+        return pa.table(
+            {
+                "key": pa.array([r[0] for r in out], key_type),
+                "session_id": pa.array([r[1] for r in out], pa.int64()),
+                "session_end": pa.array([r[2] for r in out], pa.int64()),
+                "n_events": pa.array([r[3] for r in out], pa.int64()),
+            }
         )
+
+    def pop_closed(self, watermark: int) -> bytes:
+        """Emit pending sessions + open sessions timed out by watermark."""
+        return table_to_bytes(self._pop_closed_table(watermark))
+
+    def pop_closed_to_sink(
+        self, watermark: int, parts_dir: str, epoch: int, part_idx: int
+    ) -> dict | None:
+        """Write this shard's closed sessions as its OWN deterministic
+        sink part (the ``JoinStateShard.seal_to_sink`` pattern,
+        ``state/store.py``): rows never visit the driver, which gets
+        back only part metadata for the manifest — at volume the
+        per-epoch closed-session table is not driver-sized."""
+        from dataflowkit_ray.sinks.exactly_once import write_sink_part
+
+        t = self._pop_closed_table(watermark)
+        if not len(t):
+            return None
+        return write_sink_part(parts_dir, epoch, part_idx, t)
 
     def snapshot(self) -> dict:
         return {
@@ -161,17 +177,40 @@ class CEPStateShard:
     def stage(self, epoch: int, chunk_seq: int, blob: bytes) -> None:
         self.staging.stage(epoch, chunk_seq, blob, self.last_applied)
 
-    def seal(self, epoch: int) -> bytes:
-        """Apply staged chunks in chunk order; returns the completed
-        matches of the epoch (small: bounded by match rate)."""
+    def _seal_table(self, epoch: int) -> pa.Table:
         t = self.staging.drain(epoch)
         if epoch <= self.last_applied:
             t = None
         else:
             self.last_applied = epoch
         if t is None:
-            return table_to_bytes(self._empty_matches())
-        return table_to_bytes(self._feed_table(t))
+            return self._empty_matches()
+        return self._feed_table(t)
+
+    def seal(self, epoch: int) -> bytes:
+        """Apply staged chunks in chunk order; returns the completed
+        matches of the epoch (small: bounded by match rate)."""
+        return table_to_bytes(self._seal_table(epoch))
+
+    def seal_to_sink(
+        self, epoch: int, parts_dir: str, part_idx: int
+    ) -> dict | None:
+        """Apply the epoch AND write this shard's completed matches as
+        its own sink part, sorted (key, start_seq) for deterministic
+        replay — match rows never transit the driver."""
+        import pyarrow.compute as pc
+
+        from dataflowkit_ray.sinks.exactly_once import write_sink_part
+
+        t = self._seal_table(epoch)
+        if not len(t):
+            return None
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("key", "ascending"), ("start_seq", "ascending")]
+            )
+        )
+        return write_sink_part(parts_dir, epoch, part_idx, t)
 
     @staticmethod
     def _empty_matches() -> pa.Table:
