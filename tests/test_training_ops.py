@@ -267,3 +267,50 @@ def test_ivf_scored_rows_shrink():
     # cells are uneven, so bound loosely around the proportional shrink
     assert 0.2 * full <= half <= 0.8 * full
     assert quarter < half
+
+
+def test_pairs_from_groups_drops_overdense_groups(caplog):
+    """A band key shared by L docs emits O(L^2) pairs; beyond
+    max_group_size the group is dropped WITH a logged count (the
+    no-silent-caps rule) while normal groups still pair."""
+    import logging
+
+    from dataflowkit_ray.stages.dedup import _pairs_from_groups
+
+    hot = np.arange(2000, dtype=np.int64)  # one band key, 2e6 candidate pairs
+    cool = np.array([9001, 9002], dtype=np.int64)
+    ids = np.concatenate([hot, cool])
+    groups = np.concatenate(
+        [np.zeros(2000, dtype=np.int64), np.ones(2, dtype=np.int64)]
+    )
+    with caplog.at_level(logging.WARNING, logger="dataflowkit_ray.stages.dedup"):
+        pairs = _pairs_from_groups(ids, groups, max_group_size=512)
+    assert pairs.tolist() == [[9001, 9002]]  # hot group dropped, cool kept
+    assert any("over-dense" in r.message for r in caplog.records)
+    assert any("1999000" in r.message for r in caplog.records)  # forfeited count
+
+
+def test_minhash_hot_band_bounded(ray_session):
+    """1000 identical docs (every band key shared by all of them)
+    completes in bounded time/memory: the over-dense guard drops the
+    exploding band groups instead of emitting ~5e5 pairs per band."""
+    import time
+
+    import pyarrow as pa
+    import ray.data
+
+    from dataflowkit_ray.stages.dedup import minhash_lsh_pairs
+
+    n = 1000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["the same boilerplate text repeated verbatim"] * n),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    t0 = time.perf_counter()
+    out = minhash_lsh_pairs(ds, threshold=0.8, k=64, bands=16).to_pandas()
+    assert time.perf_counter() - t0 < 60
+    # every surviving pair must still be a true duplicate
+    assert (out["jaccard"] >= 0.8).all() if len(out) else True
