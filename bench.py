@@ -131,8 +131,17 @@ def _minhash_volume(sf_dir: str, repeat: int):
             )
         return pa.concat_tables(parts)
 
+    # volume-derived blocks: each read block replicates rep x in-task,
+    # so size blocks by the POST-replication row count (CPU-derived
+    # defaults left 64 tiny blocks whose 3 chained sorts were all
+    # coordination)
+    import pyarrow.parquet as _pq
+
+    n_base = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nb = max(8, min(128, n_base * repeat // 4_000))
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=nb,
     ).map_batches(rep, batch_format="pyarrow")
     return minhash_lsh_pairs(ds, threshold=0.8, k=64, bands=32)
 

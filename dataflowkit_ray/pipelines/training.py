@@ -20,18 +20,34 @@ from dataflowkit_ray.stages.multimodal import media_pipeline
 from dataflowkit_ray.stages.textstats import TEXT_STATS_SQL, doc_fingerprints, text_stats
 
 
+def _blocks_for(path: str, rows_per_block: int = 20_000) -> int:
+    """Volume-derived block count (from parquet metadata, free).
+
+    Ray's CPU-derived default gave 64 blocks for a 5k-row table; every
+    downstream sort/groupby then coordinates 64+64 tiny tasks at ~10 ms
+    of driver time each, and the dedup pipelines (3 chained shuffles)
+    paid ~4 s of pure coordination.  Blocks sized by DATA keep small
+    inputs cheap and still fan out at volume."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(path).num_rows
+    return max(4, min(512, n // rows_per_block + 1))
+
+
 def _docs(sf_dir: str):
     import ray.data
 
+    path = f"{sf_dir}/documents.parquet"
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        path, columns=["doc_id", "text"], override_num_blocks=_blocks_for(path)
     )
 
 
 def _emb(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    path = f"{sf_dir}/embeddings.parquet"
+    return ray.data.read_parquet(path, override_num_blocks=_blocks_for(path))
 
 
 def q_exact_dedup(sf_dir: str):
