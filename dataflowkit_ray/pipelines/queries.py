@@ -400,6 +400,38 @@ def q_quantiles(sf_dir: str):
     )
 
 
+def q_quantiles_sketch(sf_dir: str):
+    """Mergeable per-source n_tok quantiles via the bottom-k-by-hash
+    sample sketch (stages/sketch.py ``quantile_sketch``): bounded sketch
+    rows through the shuffle instead of every value, merge
+    order-insensitive.  At gate scale every source group holds <= k
+    rows, so the sketch is EXACT and the DuckDB ``quantile_disc`` oracle
+    applies bit-for-bit; the sub-sampling regime's rank-error bound is
+    tested in pytest (tests/test_sketch.py)."""
+    import pyarrow.compute as _pc
+
+    from dataflowkit_ray.stages.sketch import quantile_sketch
+
+    out = quantile_sketch(
+        load_token_stream(sf_dir),
+        ("source",),
+        "n_tok",
+        (0.5, 0.9),
+        k=512,
+        id_col="doc_id",
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "q50": _pc.cast(t["q50"], pa.int64()),
+                "q90": _pc.cast(t["q90"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_avg_tok(sf_dir: str):
     """Mean token count per source — the derived (sum, count) aggregate
     riding one bucket shuffle (stages/agg.py ``mean``)."""
@@ -558,6 +590,7 @@ QUERIES = {
     "asof_profile": q_asof_profile,
     "source_policy": q_source_policy,
     "quantiles": q_quantiles,
+    "quantiles_sketch": q_quantiles_sketch,
     "avg_tok": q_avg_tok,
 }
 
@@ -573,6 +606,8 @@ ORACLES["quantiles"] = f"""
            CAST(quantile_disc(n_tok, 0.90) AS BIGINT) AS q90
     FROM tok GROUP BY source
 """
+
+ORACLES["quantiles_sketch"] = ORACLES["quantiles"]
 
 ORACLES["asof_profile"] = """
     WITH l AS (SELECT user_id, epoch_us(ts) AS purchase_ts, value

@@ -158,8 +158,9 @@ def grouped_quantiles(
 
     Scale note: a single group's values must fit one task (bucket) —
     true for keyed telemetry/stats groups; a group of corpus scale needs
-    a mergeable sketch (KLL) instead, the same trade as ``kmv_distinct``
-    vs exact COUNT DISTINCT."""
+    the mergeable :func:`quantile_sketch` instead (bounded sketch rows
+    through the shuffle), the same trade as ``kmv_distinct`` vs exact
+    COUNT DISTINCT."""
     from dataflowkit_ray.stages.agg import composite_bucket
 
     key_list = list(keys)
@@ -218,4 +219,143 @@ def grouped_quantiles(
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(bucket_quantiles, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------- quantile sketch (bottom-k)
+
+
+def _bottomk_fold(
+    gid: np.ndarray, h: np.ndarray, v: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per distinct gid keep the k smallest DISTINCT h (v stays aligned).
+
+    Returns (first_input_row_per_group, group_offsets, h_kept, v_kept) —
+    one vectorized pass (lexsort + segment arithmetic), no per-group
+    Python."""
+    n = len(gid)
+    order = np.lexsort((h, gid))
+    g, hh, vv = gid[order], h[order], v[order]
+    keep = np.ones(n, dtype=bool)
+    keep[1:] = (g[1:] != g[:-1]) | (hh[1:] != hh[:-1])  # replay dedupe
+    g, hh, vv, order = g[keep], hh[keep], vv[keep], order[keep]
+    m = len(g)
+    newg = np.ones(m, dtype=bool)
+    newg[1:] = g[1:] != g[:-1]
+    starts = np.nonzero(newg)[0]
+    seg = np.diff(np.append(starts, m))
+    rank = np.arange(m, dtype=np.int64) - np.repeat(starts, seg)
+    sel = rank < k
+    lens = np.minimum(seg, k)
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    return order[starts], offsets, hh[sel], vv[sel]
+
+
+def quantile_sketch(
+    ds,
+    keys: tuple[str, ...],
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5,),
+    k: int = 512,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+):
+    """Mergeable per-group quantile sketch: deterministic bottom-k-by-hash
+    sample (the quantile sibling of :func:`kmv_distinct`).
+
+    Per group only the ``k`` rows with the smallest ``full_hash64(id)``
+    survive — a uniform random sample under the hash's permutation, but
+    DETERMINISTIC, and the merge is "k smallest of the union":
+    associative, commutative and idempotent, so partial sketches combine
+    in any order/grouping with a bit-identical result (replays and
+    resumes included).  Rank error of a sample quantile is
+    ~ sqrt(q(1-q)/k) * n (k=512 -> ~2% of n at the median); EXACT when
+    the group has <= k rows.
+
+    Chosen over KLL/GK deliberately: KLL's compactor coin makes the
+    sketch depend on merge ORDER, which breaks both this engine's
+    bit-identical-resume contract (SURVEY.md §7) and exact oracle
+    gating; the bottom-k sample trades its O(1/k) error for
+    O(1/sqrt(k)) and buys order-insensitivity.  The sketch row is
+    bounded (k hashes + k values) regardless of group size — per-group
+    state never exceeds the sketch, unlike :func:`grouped_quantiles`
+    whose single-task-per-group bound this removes.
+
+    Output: keys + ``q<percent>: float64`` per requested quantile
+    (discrete/"lower" interpolation on the sample, matching DuckDB
+    ``quantile_disc`` in the exact regime).
+    """
+    key_list = list(keys)
+    qnames = [f"q{int(round(q * 100)):02d}" for q in quantiles]
+
+    def _sketch_cols(t: pa.Table, offsets, h_kept, v_kept, rep_rows):
+        rep = t.take(pa.array(rep_rows.astype(np.int64)))
+        return pa.table(
+            {
+                **{c: rep[c] for c in key_list},
+                "qs_h": pa.ListArray.from_arrays(
+                    pa.array(offsets.astype(np.int32), pa.int32()),
+                    pa.array(h_kept, pa.uint64()),
+                ),
+                "qs_v": pa.ListArray.from_arrays(
+                    pa.array(offsets.astype(np.int32), pa.int32()),
+                    pa.array(v_kept, pa.float64()),
+                ),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = full_hash64(ids)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        gid = _group_id64(t.select(key_list), key_list)
+        rep_rows, offsets, hk, vk = _bottomk_fold(gid, h, v, k)
+        sk = _sketch_cols(t, offsets, hk, vk, rep_rows)
+        return sk.append_column(
+            "_bucket", pa.array(composite_bucket(sk, key_list, n_buckets))
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            cols = {c: t[c] for c in key_list}
+            for qn in qnames:
+                cols[qn] = pa.array([], pa.float64())
+            return pa.table(cols)
+        hs = t["qs_h"]
+        if isinstance(hs, pa.ChunkedArray):
+            hs = hs.combine_chunks()
+        vs = t["qs_v"]
+        if isinstance(vs, pa.ChunkedArray):
+            vs = vs.combine_chunks()
+        flat_h = hs.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        flat_v = vs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = hs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        row_of = np.repeat(np.arange(len(t)), np.diff(offs))
+        gid = _group_id64(t, key_list)[row_of]
+        rep_flat, offsets, hk, vk = _bottomk_fold(gid, flat_h, flat_v, k)
+        # quantiles over each group's kept sample, sorted by VALUE
+        g_of = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        order = np.lexsort((vk, g_of))
+        sv = vk[order]
+        starts = offsets[:-1]
+        lens = np.diff(offsets)
+        first_rows = row_of[rep_flat]  # representative input row per group
+        rep = t.take(pa.array(first_rows.astype(np.int64)))
+        cols = {c: rep[c] for c in key_list}
+        for q, qn in zip(quantiles, qnames):
+            pos = np.clip(np.ceil(q * lens).astype(np.int64) - 1, 0, lens - 1)
+            cols[qn] = pa.array(sv[starts + pos], pa.float64())
+        return pa.table(cols)
+
+    return (
+        partials.groupby("_bucket")
+        .map_groups(
+            lambda t: merge_bucket(t.drop_columns(["_bucket"])),
+            batch_format="pyarrow",
+        )
     )

@@ -107,3 +107,67 @@ def test_grouped_quantiles_float_values(ray_session):
     )
     got = grouped_quantiles(ray.data.from_arrow(t), ("k",), "v", (0.5,)).to_pandas()
     assert got.loc[0, "q50"] == 0.5
+
+
+def test_quantile_sketch_exact_when_group_fits(ray_session):
+    """<= k rows per group: the bottom-k sample IS the group, so the
+    sketch equals exact quantile_disc."""
+    from dataflowkit_ray.pipelines.queries import QUERIES
+
+    SF = "/root/testdata/sf0.001"
+
+    got = (
+        QUERIES["quantiles_sketch"](SF)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    exact = (
+        QUERIES["quantiles"](SF)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert got["q50"].tolist() == exact["q50"].astype("int64").tolist()
+    assert got["q90"].tolist() == exact["q90"].astype("int64").tolist()
+
+
+def test_quantile_sketch_error_bound_and_merge_insensitivity(ray_session):
+    """Sub-sampling regime: 20k values in one group at k=256 must land
+    within ~4*sqrt(q(1-q)/k) rank error of the true quantile, and the
+    answer must be identical however the input is blocked (merge is
+    associative/commutative by construction)."""
+    import pyarrow as pa
+    import ray.data
+
+    from dataflowkit_ray.stages.sketch import quantile_sketch
+
+    n, k = 20_000, 256
+    # deterministic skewed values + unique ids
+    ids = np.arange(n, dtype=np.int64)
+    vals = (ids * 2_654_435_761 % 100_000).astype(np.int64)  # pseudo-uniform
+    t = pa.table(
+        {
+            "grp": pa.array(np.zeros(n, dtype=np.int64)),
+            "doc_id": pa.array(ids.astype(str)),
+            "val": pa.array(vals),
+        }
+    )
+
+    def run(num_blocks):
+        ds = ray.data.from_arrow(t).repartition(num_blocks)
+        out = quantile_sketch(
+            ds, ("grp",), "val", (0.5, 0.9), k=k, id_col="doc_id"
+        ).to_pandas()
+        return float(out["q50"].iloc[0]), float(out["q90"].iloc[0])
+
+    q50_a, q90_a = run(4)
+    q50_b, q90_b = run(17)
+    assert (q50_a, q90_a) == (q50_b, q90_b)  # blocking-insensitive
+
+    sv = np.sort(vals)
+    for q, est in ((0.5, q50_a), (0.9, q90_a)):
+        true_rank = q * n
+        est_rank = np.searchsorted(sv, est, side="right")
+        tol = 4 * np.sqrt(q * (1 - q) / k) * n
+        assert abs(est_rank - true_rank) <= tol, (q, est_rank, true_rank, tol)
