@@ -78,6 +78,23 @@ def q_topk_sources(sf_dir: str):
     return topk_sources(windowed_sum(ds), k=5)
 
 
+def _read_events(sf_dir: str, columns: list[str]):
+    """events.parquet read with a volume-derived block count (metadata,
+    free) — Ray's CPU-derived default makes 64 blocks of a 100k-row
+    table, and each downstream sort then coordinates 64+ near-empty
+    partitions (and emits zero-column empty blocks that strip RefBundle
+    schemas)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    path = f"{sf_dir}/events.parquet"
+    n = pq.read_metadata(path).num_rows
+    return ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=max(4, min(512, n // 20_000)),
+    )
+
+
 def q_session_events(sf_dir: str):
     """Session windows with 30-min gap over real event timestamps, keyed by
     user — the pagination-chain-as-session analog (SURVEY.md §2.8)."""
@@ -85,7 +102,7 @@ def q_session_events(sf_dir: str):
 
     from dataflowkit_ray.stages.agg import hash_agg
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ev = _read_events(sf_dir, ["user_id", "ts"])
 
     def to_clock(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -360,12 +377,8 @@ def q_asof_profile(sf_dir: str):
         )
 
     cols = ["user_id", "ts", "event_type", "value"]
-    left = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols).map_batches(
-        split_left, batch_format="pyarrow"
-    )
-    right = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols).map_batches(
-        split_right, batch_format="pyarrow"
-    )
+    left = _read_events(sf_dir, cols).map_batches(split_left, batch_format="pyarrow")
+    right = _read_events(sf_dir, cols).map_batches(split_right, batch_format="pyarrow")
     return asof_join(
         left, right, key="user_id", left_on="purchase_ts", right_on="signup_ts"
     )

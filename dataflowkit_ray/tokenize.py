@@ -200,8 +200,20 @@ def load_token_stream(
 
     cols = ["doc_id", "text", "source", *columns_extra]
     if repeat <= 1:
-        kw = {"override_num_blocks": num_blocks} if num_blocks else {}
-        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols, **kw)
+        if num_blocks is None:
+            # volume-derived (parquet metadata, free): Ray's CPU-derived
+            # default split a 5k-row table into 64 blocks, and every
+            # downstream sort then coordinated 64+ near-empty partitions
+            # (~10 ms driver time each, plus zero-column empty blocks
+            # that strip schema off RefBundles)
+            import pyarrow.parquet as pq
+
+            n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+            num_blocks = max(4, min(512, n // 1000))
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=cols,
+            override_num_blocks=num_blocks,
+        )
         return ds.map_batches(
             tokenize_documents, batch_format="pyarrow", zero_copy_batch=True
         )
