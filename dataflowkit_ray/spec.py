@@ -132,6 +132,33 @@ class SinkSpec:
 
 
 @dataclass
+class StreamingSpec:
+    """Micro-batch streaming execution of the spec — the runner knobs
+    (epochs, offsets, shard count, session gap, exactly-once work dir)
+    that were constructor/CLI-only before.  The reference's entire user
+    surface is one declarative JSON payload, so the streaming path is
+    reachable from the spec too.
+
+    mode "windowed": ``runner.StreamingRunner`` — windowed metrics + CEP
+    over the document token stream; window size/slide come from the
+    spec's ``WindowSpec``, the CEP pattern from ``PatternSpec``.
+    mode "events": ``event_runner.EventStreamRunner`` — session windows
+    (``gap``) + cross-batch CEP over the keyed event stream.
+
+    Streaming writes through its own exactly-once manifest sink under
+    ``work_dir`` (checkpoint/resume included), so ``sink`` must be
+    omitted."""
+
+    work_dir: str
+    mode: str = "windowed"  # windowed | events
+    chunks_per_epoch: int = 2
+    target_rows: int = 512
+    n_shards: int | None = None
+    gap: int | None = None  # events mode: session gap (clock units)
+    max_epochs: int | None = None
+
+
+@dataclass
 class PipelineSpec:
     name: str
     source: SourceSpec
@@ -145,6 +172,7 @@ class PipelineSpec:
     throttle: ThrottleSpec | None = None
     asof: AsofSpec | None = None
     sink: SinkSpec | None = None
+    streaming: StreamingSpec | None = None
 
     # ------------------------------------------------------- serialization
 
@@ -181,6 +209,9 @@ class PipelineSpec:
             policy=PolicySpec(**d["policy"]) if d.get("policy") else None,
             throttle=ThrottleSpec(**d["throttle"]) if d.get("throttle") else None,
             sink=SinkSpec(**d["sink"]) if d.get("sink") else None,
+            streaming=(
+                StreamingSpec(**d["streaming"]) if d.get("streaming") else None
+            ),
         )
 
 
@@ -256,6 +287,26 @@ def validate_spec(spec: PipelineSpec) -> None:
         raise SpecError("exactly_once sink requires parquet")
     if spec.sink and spec.sink.compression not in (None, "gz"):
         raise SpecError(f"unsupported compression {spec.sink.compression!r}")
+    if spec.streaming:
+        st = spec.streaming
+        if st.mode not in ("windowed", "events"):
+            raise SpecError(f"unknown streaming mode {st.mode!r}")
+        if not st.work_dir:
+            raise SpecError("streaming needs a work_dir")
+        if st.chunks_per_epoch <= 0 or st.target_rows <= 0:
+            raise SpecError("streaming chunks_per_epoch/target_rows must be > 0")
+        if spec.sink:
+            raise SpecError(
+                "streaming writes its own exactly-once sink under work_dir; omit sink"
+            )
+        if spec.dedup or spec.asof or spec.join:
+            raise SpecError("streaming covers window/pattern stages only")
+        if st.mode == "windowed" and spec.window and spec.window.kind == "session":
+            raise SpecError(
+                "windowed streaming supports tumbling/sliding; use mode=events for sessions"
+            )
+        if st.mode == "events" and st.gap is not None and st.gap <= 0:
+            raise SpecError("events streaming gap must be > 0")
 
 
 def build_pipeline(spec: PipelineSpec):
@@ -345,18 +396,7 @@ def build_pipeline(spec: PipelineSpec):
         )
 
     if spec.pattern:
-        pat = Pattern(
-            steps=tuple(
-                Step(
-                    literal=s.literal,
-                    any_of=tuple(s.any_of) if s.any_of else None,
-                    residue=tuple(s.residue) if s.residue else None,
-                    max_gap=s.max_gap,
-                )
-                for s in spec.pattern.steps
-            ),
-            mode=spec.pattern.mode,
-        )
+        pat = _pattern_from_spec(spec.pattern)
         ds = ds.map_batches(match_pattern_batch(pat), batch_format="pyarrow")
 
     if spec.join:
@@ -402,13 +442,92 @@ def build_pipeline(spec: PipelineSpec):
     return ds
 
 
+def _pattern_from_spec(ps: PatternSpec):
+    from dataflowkit_ray.stages.cep import Pattern, Step
+
+    return Pattern(
+        steps=tuple(
+            Step(
+                literal=s.literal,
+                any_of=tuple(s.any_of) if s.any_of else None,
+                residue=tuple(s.residue) if s.residue else None,
+                max_gap=s.max_gap,
+            )
+            for s in ps.steps
+        ),
+        mode=ps.mode,
+    )
+
+
+def run_streaming(spec: PipelineSpec) -> dict:
+    """Execute a spec through the micro-batch streaming runners
+    (exactly-once sink + checkpoint under ``streaming.work_dir``).
+    Called by :func:`run_pipeline` when ``spec.streaming`` is set."""
+    import time
+
+    validate_spec(spec)
+    st = spec.streaming
+    t0 = time.perf_counter()
+    if st.mode == "windowed":
+        from dataflowkit_ray.runner import StreamingRunner
+
+        w = spec.window
+        r = StreamingRunner(
+            spec.source.paths,
+            st.work_dir,
+            window_size=w.size if w else None,
+            slide=(w.slide if w and w.kind == "sliding" else None),
+            n_shards=st.n_shards,
+            pattern=_pattern_from_spec(spec.pattern) if spec.pattern else None,
+            chunks_per_epoch=st.chunks_per_epoch,
+            target_rows=st.target_rows,
+        )
+    else:
+        from dataflowkit_ray.event_runner import EventStreamRunner
+
+        pattern = None
+        if spec.pattern:
+            pattern = (
+                [
+                    {k: v for k, v in asdict(s).items() if v is not None}
+                    for s in spec.pattern.steps
+                ],
+                spec.pattern.mode,
+            )
+        kw = {}
+        if st.gap is not None:
+            kw["gap"] = st.gap
+        r = EventStreamRunner(
+            spec.source.paths,
+            st.work_dir,
+            n_shards=st.n_shards or 4,
+            pattern=pattern,
+            chunks_per_epoch=st.chunks_per_epoch,
+            target_rows=st.target_rows,
+            **kw,
+        )
+    summary = r.run(st.max_epochs)
+    return {
+        "pipeline": spec.name,
+        "mode": st.mode,
+        "work_dir": st.work_dir,
+        "took_sec": round(time.perf_counter() - t0, 3),
+        **summary,
+    }
+
+
 def run_pipeline(spec: PipelineSpec):
     """Execute a spec end-to-end, writing through its sink.  Returns a
     summary dict (the reference returns {Task ID, Requests, Took...},
-    ``scrape/scrape.go:257-263``)."""
+    ``scrape/scrape.go:257-263``).  A spec with ``streaming`` set runs
+    through the micro-batch runners instead (:func:`run_streaming`).
+    """
     import time
 
     from dataflowkit_ray.sinks.encoders import write_sink
+
+    if spec.streaming:
+        return run_streaming(spec)
 
     t0 = time.perf_counter()
     ds = build_pipeline(spec)

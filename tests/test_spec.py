@@ -349,3 +349,145 @@ def test_spec_asof_branch(ray_session, tmp_path):
     # semantic spot-checks: (1,10)->rts 5; (1,20)->15; (2,15)->10; (2,5)->none
     assert len(got) == 3
     assert list(got.rts) == [5, 15, 10]
+
+
+def test_spec_streaming_windowed_roundtrip(ray_session, tmp_path):
+    """The declarative JSON surface reaches the streaming path: a spec
+    with ``streaming`` runs StreamingRunner (epochs, checkpoints,
+    exactly-once sink) and the committed output equals the brute-force
+    batch oracle for the same window + pattern."""
+    import json as _json
+
+    from test_runner import _expected
+
+    from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+    from dataflowkit_ray.spec import PipelineSpec, run_pipeline
+    from dataflowkit_ray.tokenize import token_id
+
+    SF = "/root/testdata/sf0.001"
+    wd = str(tmp_path / "stream_run")
+    spec = PipelineSpec.from_json(
+        _json.dumps(
+            {
+                "name": "windowed-stream",
+                "source": {"paths": [f"{SF}/documents.parquet"]},
+                "window": {"kind": "tumbling", "size": 32},
+                "pattern": {
+                    "steps": [
+                        {"literal": token_id("spark")},
+                        {"literal": token_id("join"), "max_gap": 3},
+                    ],
+                    "mode": "nonoverlapping",
+                },
+                "streaming": {
+                    "work_dir": wd,
+                    "mode": "windowed",
+                    "chunks_per_epoch": 1,
+                    "target_rows": 64,
+                },
+            }
+        )
+    )
+    summary = run_pipeline(spec)
+    assert summary["mode"] == "windowed"
+    got = (
+        ExactlyOnceSink(f"{wd}/out")
+        .read_committed_table()
+        .to_pandas()
+        .sort_values(["source", "window_id"])
+        .reset_index(drop=True)
+    )
+    want = _expected(SF)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+
+def test_spec_streaming_events_roundtrip(ray_session, tmp_path):
+    """Events mode from JSON == a directly-constructed EventStreamRunner
+    (sessions and funnel matches bit-identical)."""
+    import json as _json
+
+    from dataflowkit_ray.event_runner import EventStreamRunner
+    from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+    from dataflowkit_ray.spec import PipelineSpec, run_pipeline
+
+    SF = "/root/testdata/sf0.001"
+    wd_spec = str(tmp_path / "ev_spec")
+    wd_direct = str(tmp_path / "ev_direct")
+    spec = PipelineSpec.from_json(
+        _json.dumps(
+            {
+                "name": "events-stream",
+                "source": {
+                    "paths": [f"{SF}/events.parquet"],
+                    "tokenize": False,
+                },
+                "pattern": {
+                    "steps": [{"literal": 3}, {"literal": 4, "max_gap": 3}],
+                    "mode": "nonoverlapping",
+                },
+                "streaming": {
+                    "work_dir": wd_spec,
+                    "mode": "events",
+                    "chunks_per_epoch": 1,
+                    "target_rows": 256,
+                    "gap": 1800000000,
+                },
+            }
+        )
+    )
+    run_pipeline(spec)
+    EventStreamRunner(
+        [f"{SF}/events.parquet"],
+        wd_direct,
+        gap=1_800_000_000,
+        chunks_per_epoch=1,
+        target_rows=256,
+    ).run()
+
+    for sub in ("sessions", "matches"):
+        a = (
+            ExactlyOnceSink(f"{wd_spec}/{sub}").read_committed_table().to_pandas()
+        )
+        b = (
+            ExactlyOnceSink(f"{wd_direct}/{sub}").read_committed_table().to_pandas()
+        )
+        cols = sorted(a.columns)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols).reset_index(drop=True),
+            b[cols].sort_values(cols).reset_index(drop=True),
+        )
+
+
+def test_spec_streaming_validation():
+    from dataflowkit_ray.spec import (
+        PipelineSpec,
+        SinkSpec,
+        SourceSpec,
+        SpecError,
+        StreamingSpec,
+        validate_spec,
+    )
+
+    base = dict(name="s", source=SourceSpec(paths=["x.parquet"]))
+    with pytest.raises(SpecError, match="work_dir"):
+        validate_spec(
+            PipelineSpec(**base, streaming=StreamingSpec(work_dir=""))
+        )
+    with pytest.raises(SpecError, match="mode"):
+        validate_spec(
+            PipelineSpec(**base, streaming=StreamingSpec(work_dir="/tmp/x", mode="bogus"))
+        )
+    with pytest.raises(SpecError, match="omit sink"):
+        validate_spec(
+            PipelineSpec(
+                **base,
+                streaming=StreamingSpec(work_dir="/tmp/x"),
+                sink=SinkSpec(path="/tmp/y"),
+            )
+        )
