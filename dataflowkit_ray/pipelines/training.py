@@ -147,6 +147,53 @@ def q_doc_fingerprint(sf_dir: str):
     return doc_fingerprints(_docs(sf_dir))
 
 
+def _plant_pii(t):
+    """Deterministically append synthetic PII to every third document —
+    the same expression the SQL oracle applies, so redaction is exercised
+    on real matches (the synthetic corpus contains none)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    cond = pa.array(ids % 3 == 0)
+    octet = pa.array((ids % 256).astype(str))
+    planted = pc.binary_join_element_wise(
+        t["text"],
+        " contact u",
+        pc.cast(t["doc_id"], pa.string()),
+        "@example.com at 10.0.",
+        octet,
+        ".7",
+        "",
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "text": pc.if_else(cond, planted, t["text"]),
+        }
+    )
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub (emails / IPv4s / long digit runs -> typed placeholders)
+    over the document stream, with deterministic planted PII on every
+    third doc.  Vectorized RE2 via Arrow kernels; DuckDB replays the
+    identical patterns (both engines compile RE2), so the oracle matches
+    byte-for-byte."""
+    from dataflowkit_ray.stages.textstats import redact_pii
+
+    return redact_pii(_docs(sf_dir).map_batches(_plant_pii, batch_format="pyarrow"))
+
+
+def q_quality_filter(sf_dir: str):
+    """Gopher-style repetition/format gates per document (dup-word
+    fraction, mean word length, keep flag)."""
+    from dataflowkit_ray.stages.textstats import repetition_filter
+
+    return repetition_filter(_docs(sf_dir))
+
+
 def q_multimodal_meta(sf_dir: str):
     """Binary-payload plumbing: synth media -> actor-pool decode (stub
     kernel) -> frame sampling; schema/actor wiring is the tested part."""
@@ -162,6 +209,8 @@ TRAINING_QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "text_stats": q_text_stats,
+    "pii_redact": q_pii_redact,
+    "quality_filter": q_quality_filter,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
 }
@@ -224,3 +273,23 @@ TRAINING_ORACLES = {
 }
 
 TRAINING_ORACLES["ivf_topk"] = TRAINING_ORACLES["ann_topk"]
+
+from dataflowkit_ray.stages.textstats import REPETITION_SQL, pii_sql_exprs
+
+_pii_clean, _pii_count = pii_sql_exprs("planted")
+TRAINING_ORACLES["pii_redact"] = f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+                  THEN text || ' contact u' || doc_id || '@example.com at 10.0.'
+                       || CAST(CAST(doc_id AS BIGINT) % 256 AS VARCHAR) || '.7'
+                  ELSE text END AS planted
+      FROM documents
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           {_pii_clean} AS clean_text,
+           {_pii_count} AS n_pii
+    FROM p
+"""
+TRAINING_ORACLES["quality_filter"] = REPETITION_SQL
+

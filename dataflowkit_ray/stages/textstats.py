@@ -113,3 +113,144 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
 
 def doc_fingerprints(ds):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- PII redaction
+
+# ordered (pattern, replacement) pairs — RE2 syntax, which Arrow
+# (pc.replace_substring_regex) and DuckDB (regexp_replace) both compile,
+# so the SQL oracle replays the redaction verbatim
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{9,}\b", "<NUM>"),
+)
+
+
+def redact_pii_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, clean_text, n_pii): scrub emails / IPv4s / long digit
+    runs with typed placeholders — the training-data PII pass.
+
+    Vectorized: one RE2 replace per pattern over the whole batch (Arrow
+    kernels); ``n_pii`` counts matches on the ORIGINAL text per pattern
+    (the SQL twin does the same, so sequential-replacement interactions
+    cannot diverge)."""
+    text = t[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_pii = np.zeros(len(text), dtype=np.int64)
+    clean = text
+    for pat, rep in PII_PATTERNS:
+        n_pii += pc.count_substring_regex(text, pattern=pat).to_numpy(
+            zero_copy_only=False
+        )
+        clean = pc.replace_substring_regex(clean, pattern=pat, replacement=rep)
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "clean_text": clean,
+            "n_pii": pa.array(n_pii),
+        }
+    )
+
+
+def redact_pii(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: redact_pii_batch(t, text_col), batch_format="pyarrow"
+    )
+
+
+def pii_sql_exprs(text_expr: str = "text") -> tuple[str, str]:
+    """(clean_text_expr, n_pii_expr) — the SQL twin of
+    :func:`redact_pii_batch` built from the same PII_PATTERNS."""
+    clean = text_expr
+    for pat, rep in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{rep}', 'g')"
+    count = " + ".join(
+        f"len(regexp_extract_all({text_expr}, '{pat}'))" for pat, _ in PII_PATTERNS
+    )
+    return clean, f"CAST({count} AS BIGINT)"
+
+
+# ----------------------------------------------- repetition quality filter
+
+
+def repetition_filter_batch(
+    t: pa.Table,
+    max_dup_frac: float = 0.3,
+    min_words: int = 5,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+) -> pa.Table:
+    """Gopher-style repetition/format quality gates, per document:
+
+    * ``dup_word_frac`` = 1 - distinct/words (boilerplate repetition)
+    * ``mean_word_len`` = word chars / words (2-12 on natural language;
+      gibberish and markup fall outside)
+    * ``keep``          = all gates pass
+
+    One dictionary pass + segment arithmetic; thresholds mirror the
+    published Gopher/MassiveText heuristics at small scale."""
+    text = t["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern(text, pattern=" ")
+    n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.flatten()
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    chars = np.add.reduceat(np.append(wlen, 0), offsets[:-1]) * (n_words > 0)
+
+    d = flat.dictionary_encode()
+    idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of = np.repeat(np.arange(len(n_words)), n_words)
+    order = np.lexsort((idx, row_of))
+    rw, hh = row_of[order], idx[order]
+    new = np.ones(len(rw), dtype=bool)
+    if len(rw) > 1:
+        new[1:] = (rw[1:] != rw[:-1]) | (hh[1:] != hh[:-1])
+    distinct = np.bincount(rw[new], minlength=len(n_words)).astype(np.int64)
+
+    safe_n = np.maximum(n_words, 1)
+    dup_frac = np.round(1.0 - distinct / safe_n, 6)
+    mean_len = np.round(chars / safe_n, 6)
+    keep = (
+        (n_words >= min_words)
+        & (dup_frac <= max_dup_frac)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+    )
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "n_words": pa.array(n_words),
+            "dup_word_frac": pa.array(dup_frac),
+            "mean_word_len": pa.array(mean_len),
+            "keep": pa.array(keep),
+        }
+    )
+
+
+def repetition_filter(ds, **kw):
+    return ds.map_batches(
+        lambda t: repetition_filter_batch(t, **kw), batch_format="pyarrow"
+    )
+
+
+# SQL twin of repetition_filter_batch (default thresholds)
+REPETITION_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+       round(1.0 - len(list_distinct(str_split(text, ' ')))
+             / GREATEST(len(str_split(text, ' ')), 1)::DOUBLE, 6) AS dup_word_frac,
+       round(list_aggregate(list_transform(str_split(text, ' '), w -> length(w)), 'sum')
+             / GREATEST(len(str_split(text, ' ')), 1)::DOUBLE, 6) AS mean_word_len,
+       (len(str_split(text, ' ')) >= 5
+        AND round(1.0 - len(list_distinct(str_split(text, ' ')))
+              / GREATEST(len(str_split(text, ' ')), 1)::DOUBLE, 6) <= 0.3
+        AND round(list_aggregate(list_transform(str_split(text, ' '), w -> length(w)), 'sum')
+              / GREATEST(len(str_split(text, ' ')), 1)::DOUBLE, 6) BETWEEN 2.0 AND 12.0
+       ) AS keep
+FROM documents
+"""
