@@ -186,6 +186,15 @@ def q_pii_redact(sf_dir: str):
     return redact_pii(_docs(sf_dir).map_batches(_plant_pii, batch_format="pyarrow"))
 
 
+def q_token_counts(sf_dir: str):
+    """Corpus token-budget estimators per doc: whitespace words, BPE-ish
+    subword pieces (GPT-2-style pre-tokenizer regex, RE2 shared with the
+    oracle), chars/4 heuristic."""
+    from dataflowkit_ray.stages.textstats import token_counts
+
+    return token_counts(_docs(sf_dir))
+
+
 def q_quality_filter(sf_dir: str):
     """Gopher-style repetition/format gates per document (dup-word
     fraction, mean word length, keep flag)."""
@@ -211,6 +220,7 @@ TRAINING_QUERIES = {
     "text_stats": q_text_stats,
     "pii_redact": q_pii_redact,
     "quality_filter": q_quality_filter,
+    "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
 }
@@ -292,4 +302,8 @@ TRAINING_ORACLES["pii_redact"] = f"""
     FROM p
 """
 TRAINING_ORACLES["quality_filter"] = REPETITION_SQL
+
+from dataflowkit_ray.stages.textstats import TOKEN_COUNT_SQL
+
+TRAINING_ORACLES["token_counts"] = TOKEN_COUNT_SQL
 

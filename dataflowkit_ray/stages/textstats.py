@@ -254,3 +254,51 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        ) AS keep
 FROM documents
 """
+
+
+# ------------------------------------------------------- token counting
+
+# BPE-ish subword segmentation: letter runs, single digits, single
+# punctuation marks — the GPT-2-style pre-tokenizer shape, shared
+# verbatim with the SQL oracle (both RE2)
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, n_ws_tokens, n_subword_tokens, n_chars, est_tokens_char4)
+    — the three standard corpus token-budget estimators side by side:
+    whitespace words, BPE-ish subword pieces, and the chars/4 heuristic.
+    All Arrow kernels; one RE2 scan for the subword count."""
+    text = t["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_ws = pc.list_value_length(pc.split_pattern(text, pattern=" "))
+    n_sub = pc.count_substring_regex(text, pattern=SUBWORD_PATTERN)
+    n_chars = pc.utf8_length(text)
+    # floor division: round() ties differ between Arrow (half-to-even)
+    # and DuckDB (half-away-from-zero); // is tie-free on both sides
+    est = pc.divide(pc.cast(n_chars, pa.int64()), 4)
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "n_ws_tokens": pc.cast(n_ws, pa.int64()),
+            "n_subword_tokens": pc.cast(n_sub, pa.int64()),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "est_tokens_char4": pc.cast(est, pa.int64()),
+        }
+    )
+
+
+def token_counts(ds):
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{SUBWORD_PATTERN}')) AS BIGINT)
+           AS n_subword_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) // 4 AS BIGINT) AS est_tokens_char4
+FROM documents
+"""
