@@ -64,9 +64,16 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     # first timed query doesn't pay ~3 s of process startup
     _consume(flagship_pipeline(sf_dir, repeat=64))
 
-    t0 = time.perf_counter()
-    rows["flagship"] = _consume(flagship_pipeline(sf_dir, repeat=REPEAT))
-    times["flagship"] = time.perf_counter() - t0
+    # headline metric: median of 3 (same methodology as --scaling; a
+    # single short run swings +/-2x with box scheduler noise)
+    import statistics
+
+    els = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows["flagship"] = _consume(flagship_pipeline(sf_dir, repeat=REPEAT))
+        els.append(time.perf_counter() - t0)
+    times["flagship"] = statistics.median(els)
 
     for name in (
         "tumbling_agg",
