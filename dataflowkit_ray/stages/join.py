@@ -223,6 +223,73 @@ def cogroup_join_structs(parent_ds, child_ds, key: str = "doc_id", n_buckets: in
     )
 
 
+def bucket_equi_join(
+    left_ds,
+    right_ds,
+    on: str = "doc_id",
+    n_buckets: int = 32,
+    join_type: str = "inner",
+):
+    """Generic distributed equi-join via the bucket pattern: tagged
+    schema-harmonized union → ONE sort shuffle on ``hash(key) %
+    n_buckets`` → per-bucket local Acero hash join.
+
+    Used instead of ``Dataset.join`` on the batch paths: Ray's
+    hash-shuffle join spins an actor pool per execution and its exchange
+    measured ~10× the cpu-time of everything else in the pipeline at
+    bench scale (62 of ~80 cpu-s in the round-2 flagship); this reuses
+    the same sort exchange every other stage uses and joins each bucket
+    with Acero's vectorized hash join.  Equivalence with
+    ``Dataset.join`` is asserted in ``tests/test_join.py``.
+
+    Contract: non-key column names are disjoint across sides (raises
+    otherwise).  Scale shape: the shuffle moves each row once;
+    ``n_buckets`` bounds per-task memory — size it so
+    corpus_bytes / n_buckets fits a task.  ``join_type`` passes through
+    to Acero ("inner", "left outer", "full outer", ...).
+    """
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    shared = (set(lcols) & set(rcols)) - {on}
+    if shared:
+        raise ValueError(f"bucket_equi_join: overlapping non-key columns {shared}")
+    types = dict(zip(lschema.names, lschema.types))
+    types.update(dict(zip(rschema.names, rschema.types)))
+    r_only = [c for c in rcols if c != on]
+    all_cols = lcols + r_only
+
+    from dataflowkit_ray.stages.windows import bucket_of
+
+    def tag(side: int, own_cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            out = {}
+            for c in all_cols:
+                if c in own_cols:
+                    col = t[c]
+                    out[c] = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                else:
+                    out[c] = pa.nulls(n, types[c])
+            out["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            out["_bucket"] = pa.array(bucket_of(t[on], n_buckets))
+            return pa.table(out)
+
+        return fn
+
+    tagged = left_ds.map_batches(tag(0, lcols), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1, rcols), batch_format="pyarrow")
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_bucket"])
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).select(lcols)
+        rt = t.filter(pa.array(side == 1)).select([on, *r_only])
+        return lt.join(rt, keys=[on], join_type=join_type).select(all_cols)
+
+    return tagged.groupby("_bucket").map_groups(fold, batch_format="pyarrow")
+
+
 def join_details(
     parent_ds,
     child_ds,
@@ -253,11 +320,8 @@ def join_details(
             n_buckets=num_partitions * 4,
         )
     parent = parent_ds.drop_columns(["tokens"]) if "tokens" in parent_ds.schema().names else parent_ds
-    return parent.join(
-        embedded,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=(key,),
+    return bucket_equi_join(
+        parent, embedded, on=key, n_buckets=num_partitions, join_type="inner"
     )
 
 

@@ -110,3 +110,45 @@ def test_nested_join_scales_to_many_keys(ray_session):
     row = out.take(1)[0]
     assert row["n_details"] == 2
     assert [d["chunk_idx"] for d in row["details"]] == [0, 1]
+
+
+def test_bucket_equi_join_equals_dataset_join(ray_session):
+    """The bucket-pattern join must produce exactly Dataset.join's rows
+    (inner + left outer) on overlapping/disjoint key sets."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from dataflowkit_ray.stages.join import bucket_equi_join
+
+    rng = np.random.default_rng(3)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 200, 500, dtype=np.int64)),
+            "lv": pa.array(np.arange(500, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rng.integers(100, 300, 400, dtype=np.int64)),
+            "rv": pa.array(np.arange(400, dtype=np.int64) * 7),
+        }
+    )
+    lds = ray.data.from_arrow(left).repartition(5)
+    rds = ray.data.from_arrow(right).repartition(3)
+
+    for jt_bucket, jt_ray in (("inner", "inner"), ("left outer", "left_outer")):
+        got = (
+            bucket_equi_join(lds, rds, on="k", n_buckets=8, join_type=jt_bucket)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        want = (
+            lds.join(rds, join_type=jt_ray, num_partitions=4, on=("k",))
+            .to_pandas()[got.columns.tolist()]
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
