@@ -199,7 +199,10 @@ def q_streaming_windowed(sf_dir: str):
 
     wd = tempfile.mkdtemp(prefix="dfkr_stream_", dir="/tmp")
     StreamingRunner(
-        [f"{sf_dir}/documents.parquet"], wd, chunks_per_epoch=2, target_rows=512
+        [f"{sf_dir}/documents.parquet"],
+        wd,
+        chunks_per_epoch=2,
+        target_rows=_epoch_rows(f"{sf_dir}/documents.parquet", n_epochs=16, floor=256),
     ).run()
     return ExactlyOnceSink(f"{wd}/out").read_committed()
 
@@ -240,6 +243,18 @@ def q_drop_short(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _epoch_rows(path: str, n_epochs: int = 10, floor: int = 512) -> int:
+    """Volume-derived micro-batch size: ~``n_epochs`` epochs regardless of
+    scale factor.  The streaming-semantics invariant (state carried across
+    epochs, watermark closes, exactly-once commits) is exercised by
+    SEVERAL epochs, not hundreds — a fixed 512-row epoch gave ~190 epochs
+    at sf0.1 and the query spent 9 s in per-epoch driver coordination."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(path).num_rows
+    return max(floor, n // n_epochs)
+
+
 def q_streaming_funnel(sf_dir: str):
     """Cross-batch CEP output: signup -> purchase (gap <= 3 events) per
     user, with NFA partial runs carried across epochs in state shards.
@@ -251,7 +266,11 @@ def q_streaming_funnel(sf_dir: str):
     from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
 
     wd = tempfile.mkdtemp(prefix="dfkr_funnel_", dir="/tmp")
-    EventStreamRunner([f"{sf_dir}/events.parquet"], wd, target_rows=512).run()
+    EventStreamRunner(
+        [f"{sf_dir}/events.parquet"],
+        wd,
+        target_rows=_epoch_rows(f"{sf_dir}/events.parquet"),
+    ).run()
     return ExactlyOnceSink(f"{wd}/matches").read_committed()
 
 
@@ -299,6 +318,7 @@ def q_streaming_join(sf_dir: str):
         [f"{sf_dir}/embeddings.parquet"],
         wd,
         right_lag=2,
+        target_rows=_epoch_rows(f"{sf_dir}/documents.parquet", n_epochs=10, floor=128),
     ).run()
     return ExactlyOnceSink(f"{wd}/out").read_committed()
 
@@ -316,7 +336,11 @@ def q_streaming_sessions(sf_dir: str):
     from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
 
     wd = tempfile.mkdtemp(prefix="dfkr_sess_", dir="/tmp")
-    EventStreamRunner([f"{sf_dir}/events.parquet"], wd, target_rows=512).run()
+    EventStreamRunner(
+        [f"{sf_dir}/events.parquet"],
+        wd,
+        target_rows=_epoch_rows(f"{sf_dir}/events.parquet"),
+    ).run()
     ds = ExactlyOnceSink(f"{wd}/sessions").read_committed()
 
     def rename(t: pa.Table) -> pa.Table:
