@@ -557,3 +557,35 @@ def pipeline_id(spec: PipelineSpec) -> str:
         d["sink"] = {k: v for k, v in d["sink"].items() if k != "path"}
     canon = json.dumps(d, sort_keys=True, separators=(",", ":"))
     return f"{fnv1a64(canon.encode()):016x}"
+
+
+def main(argv: list[str] | None = None) -> dict:
+    """CLI: ``python -m dataflowkit_ray.spec job.json`` — the engine's
+    analog of POSTing a JSON payload to the reference's parse daemon
+    (``/root/reference/parse/server.go``): validate the spec, run it
+    (batch sink or streaming runners), print the run summary as one JSON
+    line."""
+    import sys
+
+    args = argv if argv is not None else sys.argv[1:]
+    if not args:
+        print("usage: python -m dataflowkit_ray.spec <job.json>", file=sys.stderr)
+        raise SystemExit(2)
+    with open(args[0]) as f:
+        spec = PipelineSpec.from_json(f.read())
+    summary = run_pipeline(spec)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    import ray
+
+    owns = not ray.is_initialized()  # driver contract: never re-init
+    if owns:
+        ray.init(address="local", include_dashboard=False)
+    try:
+        main()
+    finally:
+        if owns:
+            ray.shutdown()

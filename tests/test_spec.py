@@ -491,3 +491,23 @@ def test_spec_streaming_validation():
                 sink=SinkSpec(path="/tmp/y"),
             )
         )
+
+
+def test_spec_cli_main(ray_session, tmp_path):
+    """CLI entry: JSON file in, one summary line out (the POST-a-payload
+    UX of the reference's parse daemon)."""
+    import json as _json
+
+    from dataflowkit_ray.spec import main
+
+    job = {
+        "name": "cli-test",
+        "source": {"paths": ["/root/testdata/sf0.001/documents.parquet"]},
+        "window": {"kind": "tumbling", "size": 32},
+        "aggregates": [{"column": "n_tok", "fn": "sum", "out": "sum_n_tok"}],
+        "sink": {"path": str(tmp_path / "out"), "format": "jsonl"},
+    }
+    p = tmp_path / "job.json"
+    p.write_text(_json.dumps(job))
+    summary = main([str(p)])
+    assert summary["rows"] == 320 and summary["pipeline"] == "cli-test"
