@@ -40,25 +40,21 @@ def _kmv_rows(
     keys_tbl: pa.Table, key_list: list[str], hashes: np.ndarray, k: int
 ) -> pa.Table:
     """Collapse (keys, hash) rows to one sketch row per key group:
-    ``minhashes: list<uint64>`` holding the <=k smallest distinct hashes."""
-    # group rows by key tuple via sort over a composite group id
+    ``minhashes: list<uint64>`` holding the <=k smallest distinct hashes.
+
+    Fully vectorized via :func:`_bottomk_fold` (one lexsort + segment
+    arithmetic) — an earlier version looped Python per group, the shape
+    this engine bans on high-cardinality keys."""
     gid = _group_id64(keys_tbl, key_list)
-    order = np.lexsort((hashes, gid))
-    g, h = gid[order], hashes[order]
-    out_idx: list[int] = []
-    sketches: list[np.ndarray] = []
-    start = 0
-    for i in range(1, len(g) + 1):
-        if i == len(g) or g[i] != g[start]:
-            hh = np.unique(h[start:i])[:k]
-            out_idx.append(order[start])
-            sketches.append(hh)
-            start = i
-    rep = keys_tbl.take(pa.array(np.asarray(out_idx, dtype=np.int64)))
+    rep_rows, offsets, h_kept, _v = _bottomk_fold(gid, hashes, hashes, k)
+    rep = keys_tbl.take(pa.array(rep_rows.astype(np.int64)))
     return pa.table(
         {
             **{c: rep[c] for c in key_list},
-            "minhashes": pa.array([s.tolist() for s in sketches], pa.list_(pa.uint64())),
+            "minhashes": pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32), pa.int32()),
+                pa.array(h_kept, pa.uint64()),
+            ),
         }
     )
 
@@ -98,30 +94,30 @@ def kmv_distinct(
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def merge_bucket(t: pa.Table) -> pa.Table:
+        """k-smallest-of-union per group + the KMV estimator, fully
+        vectorized (one lexsort + segment arithmetic; no per-group
+        Python)."""
         mh = t["minhashes"]
         if isinstance(mh, pa.ChunkedArray):
             mh = mh.combine_chunks()
         flat = mh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
         offsets = mh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         offsets = offsets - offsets[0]
-        lengths = np.diff(offsets)
-        row_of = np.repeat(np.arange(len(t)), lengths)
+        row_of = np.repeat(np.arange(len(t)), np.diff(offsets))
 
-        gid = _group_id64(t, key_list)
-        g_flat = gid[row_of]
-        order = np.lexsort((flat, g_flat))
-        g, h = g_flat[order], flat[order]
-        out_rows: list[int] = []
-        est: list[float] = []
-        start = 0
-        for i in range(1, len(g) + 1):
-            if i == len(g) or g[i] != g[start]:
-                merged = np.unique(h[start:i])[:k]
-                first_row = int(row_of[order[start]])
-                out_rows.append(first_row)
-                est.append(kmv_estimate(merged, k))
-                start = i
-        rep = t.take(pa.array(np.asarray(out_rows, dtype=np.int64)))
+        gid = _group_id64(t, key_list)[row_of]
+        rep_flat, off2, h_kept, _v = _bottomk_fold(gid, flat, flat, k)
+        lens = np.diff(off2)
+        starts = off2[:-1]
+        # exact below k distinct hashes; else (k-1) * 2^64 / kth_min
+        kth_idx = starts + np.minimum(lens, k) - 1
+        kth = h_kept[np.maximum(kth_idx, 0)].astype(np.float64)
+        est = np.where(
+            lens < k,
+            lens.astype(np.float64),
+            (k - 1) * _MAX64 / np.maximum(kth, 1.0),
+        )
+        rep = t.take(pa.array(row_of[rep_flat].astype(np.int64)))
         return pa.table(
             {
                 **{c: rep[c] for c in key_list},
