@@ -88,9 +88,18 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         "minhash_dup_pairs",
         "simhash_pairs",
         "ann_topk",
+        "ivf_topk",
         "embedding_dup_pairs",
         "text_stats",
+        "token_counts",
+        "pii_redact",
+        "quality_filter",
+        "quantiles",
+        "quantiles_sketch",
+        "approx_distinct",
+        "asof_profile",
         "streaming_windowed",
+        "streaming_sessions",
     ):
         t0 = time.perf_counter()
         rows[name] = _consume(QUERIES[name](sf_dir))

@@ -194,11 +194,16 @@ def flagship_pipeline(
     # ---- the ONE all-to-all: bucket-shuffle merge of per-batch partials
     from dataflowkit_ray.stages.agg import hash_agg
 
+    # bucket count well above the sort partition count (= #blocks): with
+    # as many distinct _bucket values as partitions, sampled range
+    # boundaries occasionally collide and produce an empty (schema-less)
+    # partition; 8x headroom keeps every partition non-empty
     agg = hash_agg(
         partials,
         ("src_id", "window_id"),
         [(m, "sum", m) for m in _METRICS],
         combine=False,
+        n_buckets=max(256, 8 * (blocks or 32)),
     )
 
     src_arr = np.asarray(srcs, dtype=object)
