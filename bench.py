@@ -199,8 +199,12 @@ def _scaling_child(num_cpus: int) -> dict:
 
     Two full-volume warm-up runs (worker-pool spawn + plan caches; the
     first run pays ~3 s of process startup that has nothing to do with
-    the pipeline), then median of five timed steady-state runs — the
-    job is short enough that single-run scheduler noise is +/-15%."""
+    the pipeline), then MIN of six timed steady-state runs.  Min, not
+    median: this box exhibits transient multi-second stalls (kernel
+    memory compaction — the same pathology behind the page-fault
+    finding in stages/dedup.py) that can poison 2-3 of 6 runs at once;
+    the minimum is the standard steady-state estimator under external
+    interference, and every raw run is reported alongside."""
     code = (
         "import json,time,ray,os,sys,statistics;"
         f"ray.init(address='local', num_cpus={num_cpus}, include_dashboard=False);"
@@ -210,9 +214,9 @@ def _scaling_child(num_cpus: int) -> dict:
         f"run=lambda: bench._consume(flagship_pipeline({SF_DIR!r}, repeat={SCALING_REPEAT}));"
         "run(); run();"
         "els=[];\n"
-        "for _ in range(5):\n"
+        "for _ in range(6):\n"
         "    t0=time.perf_counter(); run(); els.append(time.perf_counter()-t0)\n"
-        "el=statistics.median(els);"
+        "el=min(els);"
         f"docs=bench.n_docs({SF_DIR!r})*{SCALING_REPEAT};"
         "print(json.dumps({'num_cpus': %d, 'sec': round(el,3),"
         " 'runs_sec': [round(e,3) for e in els],"
