@@ -61,27 +61,92 @@ class SessionStateShard:
         self._merge_table(bytes_to_table(blob))
 
     def _merge_table(self, t: pa.Table) -> None:
-        keys = t["key"].to_pylist()
-        clocks = t["clock"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((clocks, np.asarray([hash(k) for k in keys])))
-        # stable per-key clock order; process grouped by key
-        by_key: dict = {}
-        for i in order:
-            by_key.setdefault(keys[i], []).append(int(clocks[i]))
-        for k, cs in by_key.items():
+        """Apply one epoch's events, fully vectorized.
+
+        Per-event work is numpy (one lexsort + segment arithmetic over
+        (key, clock)); Python touches only DISTINCT keys (state-dict
+        I/O) — a per-event Python loop here was the last row-at-a-time
+        path on the streaming ingest side.  Semantics are identical to
+        the scalar definition (asserted against a scalar reference in
+        ``tests/test_session_merge.py``): events below a key's open-
+        session last clock are dropped+counted (out-of-order), a gap
+        larger than ``self.gap`` closes the running session, the final
+        session of each key stays open."""
+        n = len(t)
+        if n == 0:
+            return
+        k_col = t["key"]
+        if isinstance(k_col, pa.ChunkedArray):
+            k_col = k_col.combine_chunks()
+        d = k_col.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        g = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t["clock"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((cl, g))
+        g, cl = g[order], cl[order]
+
+        G = len(uniq)
+        NEG = np.int64(-(1 << 62))
+        open_last = np.full(G, NEG, dtype=np.int64)
+        open_start = np.zeros(G, dtype=np.int64)
+        open_n = np.zeros(G, dtype=np.int64)
+        has_open = np.zeros(G, dtype=bool)
+        for gi, k in enumerate(uniq):
             st = self.open.get(k)
-            for c in cs:
-                if st is None:
-                    st = [c, c, 0]
-                elif c < st[1]:
-                    self.ooo_dropped += 1
-                    continue
-                elif c - st[1] > self.gap:
-                    self.pending.append((k, st[0], st[1], st[2]))
-                    st = [c, c, 0]
-                st[1] = c
-                st[2] += 1
-            self.open[k] = st
+            if st is not None:
+                has_open[gi] = True
+                open_start[gi], open_last[gi], open_n[gi] = st
+
+        # out-of-order drop: below the open session's last clock (within
+        # the batch clocks are sorted ascending, so intra-batch events
+        # can never be out of order relative to each other)
+        ooo = cl < open_last[g]
+        self.ooo_dropped += int(ooo.sum())
+        keep = ~ooo
+        g, cl = g[keep], cl[keep]
+        m = len(g)
+        if m == 0:
+            return
+
+        first = np.ones(m, dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        prev = np.empty(m, dtype=np.int64)
+        prev[1:] = cl[:-1]
+        prev[first] = np.where(has_open[g[first]], open_last[g[first]], cl[first])
+        gap_break = (cl - prev) > self.gap
+        newsess = gap_break | (first & ~has_open[g])
+
+        # a first event that gap-breaks closes the OPEN session with no
+        # batch events in it
+        for i in np.nonzero(first & gap_break & has_open[g])[0]:
+            gi = int(g[i])
+            self.pending.append(
+                (uniq[gi], int(open_start[gi]), int(open_last[gi]), int(open_n[gi]))
+            )
+
+        # session segments: boundaries at every new session start or at a
+        # group's continuation of its open session
+        sfirst = newsess | first
+        s_idx = np.nonzero(sfirst)[0]
+        s_len = np.diff(np.append(s_idx, m))
+        s_g = g[s_idx]
+        cont = first[s_idx] & ~newsess[s_idx]  # continues the open session
+        s_start = np.where(cont, open_start[s_g], cl[s_idx])
+        s_last = cl[s_idx + s_len - 1]
+        s_count = s_len + np.where(cont, open_n[s_g], 0)
+        glast = np.ones(len(s_idx), dtype=bool)
+        glast[:-1] = s_g[1:] != s_g[:-1]  # each group's final session
+
+        for si in np.nonzero(~glast)[0]:
+            self.pending.append(
+                (uniq[int(s_g[si])], int(s_start[si]), int(s_last[si]), int(s_count[si]))
+            )
+        for si in np.nonzero(glast)[0]:
+            self.open[uniq[int(s_g[si])]] = [
+                int(s_start[si]),
+                int(s_last[si]),
+                int(s_count[si]),
+            ]
 
     def _pop_closed_table(self, watermark: int) -> pa.Table:
         out = list(self.pending)
