@@ -100,3 +100,98 @@ def test_session_assignment_order_independent(clocks, gap):
     assert sorted(map(tuple, a[key].values.tolist())) == sorted(
         map(tuple, b[key].values.tolist())
     )
+
+
+# ---------------------------------------------------- round-3 operators
+
+
+@given(
+    vals=st.lists(st.integers(0, 10_000), min_size=1, max_size=300),
+    k=st.integers(4, 64),
+)
+@settings(max_examples=40, deadline=None)
+def test_bottomk_fold_is_blocking_invariant(vals, k):
+    """Splitting the input arbitrarily and folding twice equals one fold
+    (the merge-insensitivity the quantile sketch's correctness rests on)."""
+    from dataflowkit_ray.stages.sketch import _bottomk_fold
+    from dataflowkit_ray.tokenize import fnv1a64_numpy
+
+    v = np.asarray(vals, dtype=np.float64)
+    h = fnv1a64_numpy(np.arange(len(vals), dtype=np.uint64))
+    gid = np.zeros(len(vals), dtype=np.uint64)
+
+    _, off1, h1, v1 = _bottomk_fold(gid, h, v, k)
+
+    cut = len(vals) // 2
+    _, offa, ha, va = _bottomk_fold(gid[:cut], h[:cut], v[:cut], k)
+    _, offb, hb, vb = _bottomk_fold(gid[cut:], h[cut:], v[cut:], k)
+    gid2 = np.zeros(len(ha) + len(hb), dtype=np.uint64)
+    _, off2, h2, v2 = _bottomk_fold(
+        gid2, np.concatenate([ha, hb]), np.concatenate([va, vb]), k
+    )
+    assert np.array_equal(h1, h2) and np.array_equal(v1, v2)
+
+
+@given(texts=st.lists(st.text(max_size=60), min_size=1, max_size=40))
+@settings(max_examples=40, deadline=None)
+def test_pii_redaction_idempotent(texts):
+    """redact(redact(x)) == redact(x): placeholders contain no
+    redactable substrings, so a second pass is a no-op."""
+    import pyarrow as pa
+
+    from dataflowkit_ray.stages.textstats import redact_pii_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([str(i) for i in range(len(texts))]),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    once = redact_pii_batch(t)
+    twice = redact_pii_batch(
+        pa.table({"doc_id": once["doc_id"], "text": once["clean_text"]})
+    )
+    assert once["clean_text"].to_pylist() == twice["clean_text"].to_pylist()
+    assert all(n == 0 for n in twice["n_pii"].to_pylist())
+
+
+@given(
+    n_left=st.integers(0, 60),
+    n_right=st.integers(0, 60),
+    key_space=st.integers(1, 25),
+)
+@settings(max_examples=30, deadline=None)
+def test_bucket_equi_join_matches_pandas(ray_session, n_left, n_right, key_space):
+    import pandas as pd
+    import ray.data
+
+    from dataflowkit_ray.stages.join import bucket_equi_join
+
+    rng = np.random.default_rng(n_left * 1000 + n_right * 31 + key_space)
+    lt = pa.table(
+        {
+            "k": pa.array(rng.integers(0, key_space, n_left, dtype=np.int64)),
+            "lv": pa.array(np.arange(n_left, dtype=np.int64)),
+        }
+    )
+    rt = pa.table(
+        {
+            "k": pa.array(rng.integers(0, key_space, n_right, dtype=np.int64)),
+            "rv": pa.array(np.arange(n_right, dtype=np.int64)),
+        }
+    )
+    got = bucket_equi_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt), on="k", n_buckets=4
+    ).to_pandas()
+    want = (
+        lt.to_pandas()
+        .merge(rt.to_pandas(), on="k", how="inner")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    if len(want):
+        got = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "lv", "rv"]], want[["k", "lv", "rv"]], check_dtype=False
+        )
