@@ -148,13 +148,15 @@ def _minhash_volume(sf_dir: str, repeat: int):
         return pa.concat_tables(parts)
 
     # volume-derived blocks: each read block replicates rep x in-task,
-    # so size blocks by the POST-replication row count (CPU-derived
-    # defaults left 64 tiny blocks whose 3 chained sorts were all
-    # coordination)
-    import pyarrow.parquet as _pq
+    # so size blocks by the POST-replication row count
+    from dataflowkit_ray.tokenize import blocks_for
 
-    n_base = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    nb = max(8, min(128, n_base * repeat // 4_000))
+    nb = blocks_for(
+        f"{sf_dir}/documents.parquet",
+        rows_per_block=max(1, 4_000 // repeat),
+        lo=8,
+        hi=128,
+    )
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         override_num_blocks=nb,

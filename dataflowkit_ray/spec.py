@@ -301,6 +301,15 @@ def validate_spec(spec: PipelineSpec) -> None:
             )
         if spec.dedup or spec.asof or spec.join:
             raise SpecError("streaming covers window/pattern stages only")
+        if spec.filters or spec.aggregates or spec.policy or spec.throttle:
+            # reject rather than silently ignore: the streaming runners
+            # execute a fixed window+pattern stage-set
+            raise SpecError(
+                "streaming covers window/pattern stages only; "
+                "filters/aggregates/policy/throttle are batch-spec stages"
+            )
+        if st.mode == "windowed" and st.gap is not None:
+            raise SpecError("gap is an events-mode knob; windowed mode ignores it")
         if st.mode == "windowed" and spec.window and spec.window.kind == "session":
             raise SpecError(
                 "windowed streaming supports tumbling/sliding; use mode=events for sessions"
@@ -555,6 +564,11 @@ def pipeline_id(spec: PipelineSpec) -> str:
     d = json.loads(spec.to_json())
     if d.get("sink"):
         d["sink"] = {k: v for k, v in d["sink"].items() if k != "path"}
+    if d.get("streaming"):
+        # work_dir is a scratch/output location, volatile like sink.path
+        d["streaming"] = {
+            k: v for k, v in d["streaming"].items() if k != "work_dir"
+        }
     canon = json.dumps(d, sort_keys=True, separators=(",", ":"))
     return f"{fnv1a64(canon.encode()):016x}"
 

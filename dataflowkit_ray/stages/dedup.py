@@ -259,7 +259,14 @@ def _pairs_from_groups(
     analog of a stop-word), so the whole group is DROPPED — and the drop
     is logged with group count and forfeited pair count (never a silent
     cap).  Production MinHash dedup pipelines apply the same
-    document-frequency cut-off to band keys."""
+    document-frequency cut-off to band keys.
+
+    Consequence (intentional): a corpus with > max_group_size documents
+    sharing one band key emits NO candidate pairs for that key, so
+    recall drops below an exact all-pairs oracle there — the documented
+    trade for bounded per-task work.  Catch such clusters with
+    :func:`exact_dedup` first (identical docs share a content hash) or
+    raise the cap for a recall-critical pass."""
     n = len(group_ids)
     if n == 0:
         return np.empty((0, 2), dtype=np.int64)

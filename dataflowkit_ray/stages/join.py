@@ -247,6 +247,14 @@ def bucket_equi_join(
     ``n_buckets`` bounds per-task memory — size it so
     corpus_bytes / n_buckets fits a task.  ``join_type`` passes through
     to Acero ("inner", "left outer", "full outer", ...).
+
+    Byte-cost note: schema harmonization pads each side with all-null
+    columns for the other side's fields, and Arrow ships a full-width
+    data buffer for nulls — each row pays the other side's column
+    widths through the exchange.  Cheap when one side is narrow (the
+    engine's uses: a slim aggregated child vs a wide parent); for two
+    wide sides prefer projecting both to the fold's needed columns
+    first — every byte through a shuffle is paid at exchange bandwidth.
     """
     lschema, rschema = left_ds.schema(), right_ds.schema()
     lcols, rcols = list(lschema.names), list(rschema.names)

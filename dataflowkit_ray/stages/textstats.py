@@ -19,6 +19,15 @@ import pyarrow.compute as pc
 STOPWORDS: tuple[str, ...] = ("a", "the")
 
 
+def _round6_half_away(x: np.ndarray) -> np.ndarray:
+    """round(x, 6) with DuckDB's half-away-from-zero tie rule.  np.round
+    is half-to-even, so a tie like 129 chars / 128 words = 1.0078125
+    diverges (engine 1.007812 vs oracle 1.007813) exactly at values the
+    oracle must replay bit-for-bit.  Non-negative inputs only (all the
+    ratios here)."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
 def text_stats_batch(t: pa.Table) -> pa.Table:
     """(doc_id, n_words, n_distinct_words, stopword_ratio, quality_score,
     lang_pred) per document.
@@ -60,8 +69,8 @@ def text_stats_batch(t: pa.Table) -> pa.Table:
     distinct = np.bincount(rw[new], minlength=len(n_words)).astype(np.int64)
 
     safe_n = np.maximum(n_words, 1)
-    stop_ratio = np.round(stop_counts / safe_n, 6)
-    quality = np.round(distinct / safe_n, 6)
+    stop_ratio = _round6_half_away(stop_counts / safe_n)
+    quality = _round6_half_away(distinct / safe_n)
     lang = np.where(stop_ratio >= 0.02, "en", "unk")
 
     return pa.table(
@@ -213,8 +222,8 @@ def repetition_filter_batch(
     distinct = np.bincount(rw[new], minlength=len(n_words)).astype(np.int64)
 
     safe_n = np.maximum(n_words, 1)
-    dup_frac = np.round(1.0 - distinct / safe_n, 6)
-    mean_len = np.round(chars / safe_n, 6)
+    dup_frac = _round6_half_away(1.0 - distinct / safe_n)
+    mean_len = _round6_half_away(chars / safe_n)
     keep = (
         (n_words >= min_words)
         & (dup_frac <= max_dup_frac)

@@ -168,6 +168,21 @@ def replicate_stream(repeat: int, id_stride: int = 10_000_000):
     return fn
 
 
+def blocks_for(path: str, rows_per_block: int = 20_000, lo: int = 4, hi: int = 512) -> int:
+    """Volume-derived block count from parquet metadata (free).
+
+    THE block-sizing rule of this engine: Ray's CPU-derived default gave
+    64 blocks for a 5k-row table, and every downstream sort coordinated
+    64+ near-empty partitions (~10 ms of driver time each) and emitted
+    zero-column empty blocks.  Deriving from row count keeps small
+    inputs cheap and still fans out at volume.  Shared by every reader
+    (token stream, events, documents, embeddings, bench volume mode)."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(path).num_rows
+    return max(lo, min(hi, n // max(1, rows_per_block)))
+
+
 def load_token_stream(
     sf_dir: str,
     *,
@@ -201,15 +216,7 @@ def load_token_stream(
     cols = ["doc_id", "text", "source", *columns_extra]
     if repeat <= 1:
         if num_blocks is None:
-            # volume-derived (parquet metadata, free): Ray's CPU-derived
-            # default split a 5k-row table into 64 blocks, and every
-            # downstream sort then coordinated 64+ near-empty partitions
-            # (~10 ms driver time each, plus zero-column empty blocks
-            # that strip schema off RefBundles)
-            import pyarrow.parquet as pq
-
-            n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-            num_blocks = max(4, min(512, n // 1000))
+            num_blocks = blocks_for(f"{sf_dir}/documents.parquet", rows_per_block=1000)
         ds = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=cols,
             override_num_blocks=num_blocks,

@@ -491,6 +491,25 @@ def test_spec_streaming_validation():
                 sink=SinkSpec(path="/tmp/y"),
             )
         )
+    # stages the streaming runners cannot execute are rejected, never
+    # silently dropped
+    from dataflowkit_ray.spec import FilterSpec
+
+    with pytest.raises(SpecError, match="batch-spec stages"):
+        validate_spec(
+            PipelineSpec(
+                **base,
+                filters=[FilterSpec(column="text", chain=[("lowercase", None)])],
+                streaming=StreamingSpec(work_dir="/tmp/x"),
+            )
+        )
+    with pytest.raises(SpecError, match="events-mode knob"):
+        validate_spec(
+            PipelineSpec(
+                **base,
+                streaming=StreamingSpec(work_dir="/tmp/x", mode="windowed", gap=5),
+            )
+        )
 
 
 def test_spec_cli_main(ray_session, tmp_path):
