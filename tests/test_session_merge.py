@@ -96,3 +96,56 @@ def test_session_merge_empty_and_all_ooo():
     # empty batch is a no-op
     vec._merge_table(_mk_table([], []))
     assert vec.open[1] == [100, 105, 2] and not vec.pending
+
+
+def test_shard_sink_parts_idempotent(tmp_path):
+    """pop_closed_to_sink / seal_to_sink write deterministic part names:
+    a replayed epoch rewrites the same file (no duplicates), empty
+    output writes nothing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    shard = _vec_shard(gap=10)
+    parts = str(tmp_path / "parts")
+    os.makedirs(parts)
+    # open a session, then close it via a gap
+    shard._merge_table(_mk_table([7, 7], [100, 103]))
+    shard._merge_table(_mk_table([7], [200]))  # closes [100,103], opens [200]
+    meta1 = shard.pop_closed_to_sink(150, parts, epoch=3, part_idx=1)
+    assert meta1 and meta1["rows"] == 1
+    f = os.path.join(parts, meta1["part"])
+    t = pq.read_table(f)
+    assert t.column("session_id").to_pylist() == [100]
+    # nothing left to close below the watermark: no part written
+    assert shard.pop_closed_to_sink(150, parts, epoch=4, part_idx=1) is None
+    # replay: a shard restored to the earlier state rewrites the SAME file
+    shard2 = _vec_shard(gap=10)
+    shard2._merge_table(_mk_table([7, 7], [100, 103]))
+    shard2._merge_table(_mk_table([7], [200]))
+    meta2 = shard2.pop_closed_to_sink(150, parts, epoch=3, part_idx=1)
+    assert meta2["part"] == meta1["part"]
+    assert pq.read_table(f).equals(t)
+
+
+def test_cep_shard_seal_to_sink(tmp_path):
+    """CEPStateShard.seal_to_sink writes sorted matches as its own part;
+    an epoch with no matches writes nothing."""
+    import os
+
+    from dataflowkit_ray.state.session_store import CEPStateShard
+    from dataflowkit_ray.state.store import table_to_bytes
+
+    cls = CEPStateShard.__ray_metadata__.modified_class if hasattr(
+        CEPStateShard, "__ray_metadata__"
+    ) else CEPStateShard
+    shard = cls([{"literal": 3}, {"literal": 4, "max_gap": 1}], "nonoverlapping")
+    parts = str(tmp_path / "parts")
+    os.makedirs(parts)
+    t = _mk_table([1, 1, 2], [10, 11, 10])
+    t = t.append_column("token", pa.array([3, 4, 3], pa.int64()))
+    shard.stage(0, 0, table_to_bytes(t))
+    meta = shard.seal_to_sink(0, parts, part_idx=2)
+    assert meta and meta["rows"] == 1  # key 1: signup(10)->purchase(11)
+    # next epoch: no staged events -> empty -> no part
+    assert shard.seal_to_sink(1, parts, part_idx=2) is None
