@@ -692,7 +692,10 @@ ORACLES["drop_short"] = f"""
     WITH {TOKEN_CTE} SELECT doc_id, n_tok, source FROM tok WHERE n_tok > 40
 """
 
+from dataflowkit_ray.pipelines.relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES
 from dataflowkit_ray.pipelines.training import TRAINING_ORACLES, TRAINING_QUERIES
 
 QUERIES.update(TRAINING_QUERIES)
 ORACLES.update(TRAINING_ORACLES)
+QUERIES.update(RELATIONAL_QUERIES)
+ORACLES.update(RELATIONAL_ORACLES)
