@@ -98,6 +98,8 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         "quantiles_sketch",
         "approx_distinct",
         "asof_profile",
+        "lineitem_agg",
+        "top_orders",
         "streaming_windowed",
         "streaming_sessions",
     ):
