@@ -1,21 +1,26 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata, with
 actor-pool decode / feature-extract stages.
 
-Real image/audio codecs are not in this container, so the decode kernel
-is STUBBED (clearly marked).  Everything around it — schema, batch
-sizing, the callable-class actor signature with per-actor ``__init__``
-setup, and the output layout — is real and tested.  Swapping in a real
-codec means replacing :func:`_decode_stub` only.
+Decode is REAL for two modalities: PGM (P5) images parse with pure
+numpy/bytes and WAV audio with the stdlib ``wave`` module — actual
+byte-level container decoding, not fakes.  Only the video branch stays a
+clearly-marked deterministic stub (no video container codec ships in
+this environment); swapping in a real one means replacing
+:func:`_decode_stub` only.
 
 Pattern (mandated for stateful stages): ``map_batches(Cls,
 concurrency=N, batch_size=B)`` — the "model load" happens once per actor
 in ``__init__`` (ST1-style, SURVEY.md §2.3), never per batch.  Binary
 payloads are wide: callers should size ``batch_size`` in BYTES
 (``payload_bytes * batch_size * concurrency`` must fit the worker heap).
+Decoding is intrinsically per-payload (true of real codecs too); the
+actor pool is what amortizes it.
 """
 
 from __future__ import annotations
 
+import io
+import wave
 import zlib
 
 import numpy as np
@@ -32,28 +37,92 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def _pgm_payload(text_bytes: bytes, w: int, h: int) -> bytes:
+    """A real binary PGM (P5) image whose pixels are the text bytes
+    cycled to fill w*h — a VALID file any PGM reader decodes."""
+    need = w * h
+    src = text_bytes or b"\x00"
+    reps = -(-need // len(src))
+    return f"P5\n{w} {h}\n255\n".encode() + (src * reps)[:need]
+
+
+def _wav_payload(text_bytes: bytes, n_samples: int, rate: int = 8000) -> bytes:
+    """A real mono 16-bit WAV whose samples derive from the text bytes —
+    a VALID file any WAV reader decodes."""
+    src = np.frombuffer(text_bytes or b"\x00", dtype=np.uint8)
+    reps = -(-n_samples // len(src))
+    samples = ((np.tile(src, reps)[:n_samples].astype(np.int16)) - 128) * 256
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
 def synthesize_media(t: pa.Table) -> pa.Table:
-    """documents batch -> deterministic fake media table (text bytes as the
-    opaque payload) — the test stand-in for a real binary column."""
-    payload = pc.cast(t["text"], pa.binary())
-    kinds = ["image", "audio", "video"]
+    """documents batch -> deterministic media table with REAL container
+    payloads: PGM images (doc_id %% 3 == 0), WAV audio (== 1), and an
+    opaque byte blob standing in for video (== 2).  Image dims / sample
+    counts derive from the text length, so the decode stage's output is
+    a pure function of the input (bit-identical replays)."""
     ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    kinds, payloads = [], []
+    for i, txt in zip(ids, texts):
+        b = (txt or "").encode()
+        m = int(i) % 3
+        if m == 0:
+            w = 8 + len(b) % 24
+            h = 8 + (len(b) // 3) % 16
+            kinds.append("image")
+            payloads.append(_pgm_payload(b, w, h))
+        elif m == 1:
+            kinds.append("audio")
+            payloads.append(_wav_payload(b, 64 + len(b) % 256))
+        else:
+            kinds.append("video")
+            payloads.append(b)
+    payload = pa.array(payloads, pa.binary())
     return pa.table(
         {
             "media_id": pa.array([str(i) for i in ids], pa.string()),
             "payload": payload,
-            "media_type": pa.array([kinds[int(i) % 3] for i in ids], pa.string()),
+            "media_type": pa.array(kinds, pa.string()),
             "n_bytes": pc.cast(pc.binary_length(payload), pa.int64()),
         }
     )
 
 
-def _decode_stub(payload: bytes, media_type: str) -> dict:
-    """STUB decode kernel — deterministic fake features.
+def _decode_pgm(payload: bytes) -> dict:
+    """REAL PGM (P5) parse: header -> dims, pixel buffer -> mean luma."""
+    magic, dims, maxval, px = payload.split(b"\n", 3)
+    if magic != b"P5":
+        raise ValueError("not a P5 PGM")
+    w, h = (int(x) for x in dims.split())
+    if len(px) != w * h:
+        raise ValueError(f"truncated PGM: {len(px)} != {w}*{h}")
+    return {"width": w, "height": h, "n_frames": 1}
 
-    A real deployment replaces this with PIL/libav/etc.  Raising path for
-    genuinely-unsupported types is kept so callers exercise error
-    handling."""
+
+def _decode_wav(payload: bytes) -> dict:
+    """REAL WAV parse via the stdlib codec.  ``n_frames`` is the decoded
+    frame (sample) count; width/height carry sample_rate / channels in
+    the shared metadata layout."""
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        return {
+            "width": wv.getframerate(),
+            "height": wv.getnchannels(),
+            "n_frames": max(1, wv.getnframes()),
+        }
+
+
+def _decode_stub(payload: bytes, media_type: str) -> dict:
+    """STUB decode kernel for the VIDEO branch — deterministic fake
+    features (no video container codec ships here; a real deployment
+    replaces this with libav/etc).  Raising path for genuinely
+    unsupported types is kept so callers exercise error handling."""
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no codec for media_type={media_type!r}")
     crc = zlib.crc32(payload)
@@ -62,6 +131,16 @@ def _decode_stub(payload: bytes, media_type: str) -> dict:
         "height": 16 + (crc >> 10) % 1024,
         "n_frames": 1 if media_type == "image" else 1 + (crc >> 20) % 300,
     }
+
+
+def _decode(payload: bytes, media_type: str) -> dict:
+    """Route by container magic: real decoders for PGM/WAV, stub for
+    video and for payloads that don't carry a known container."""
+    if media_type == "image" and payload.startswith(b"P5"):
+        return _decode_pgm(payload)
+    if media_type == "audio" and payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    return _decode_stub(payload, media_type)
 
 
 class MediaDecodeStage:
@@ -83,7 +162,7 @@ class MediaDecodeStage:
             payloads = payloads.combine_chunks()
         kinds = t["media_type"].to_pylist()
         feats = [
-            _decode_stub(payloads[i].as_py(), kinds[i]) for i in range(len(t))
+            _decode(payloads[i].as_py(), kinds[i]) for i in range(len(t))
         ]
         return pa.table(
             {

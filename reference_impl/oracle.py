@@ -289,15 +289,24 @@ def oracle_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
 
 
 def oracle_multimodal_meta(sf_dir: str) -> pd.DataFrame:
-    """Synth media -> stub decode -> every-30th frame sample."""
+    """Synth media -> decode (real PGM/WAV containers; video stub) ->
+    every-30th frame sample.  Scalar replication of the engine's
+    deterministic synthesis: image n_frames = 1; audio n_frames =
+    decoded WAV sample count = 64 + len(text) %% 256; video = crc
+    formula of the stub."""
     df = _docs(sf_dir)
     kinds = ["image", "audio", "video"]
     out = []
     for _, row in df.iterrows():
         payload = row["text"].encode()
         media_type = kinds[int(row["doc_id"]) % 3]
-        crc = zlib.crc32(payload)
-        n_frames = 1 if media_type == "image" else 1 + (crc >> 20) % 300
+        if media_type == "image":
+            n_frames = 1
+        elif media_type == "audio":
+            n_frames = 64 + len(payload) % 256
+        else:
+            crc = zlib.crc32(payload)
+            n_frames = 1 + (crc >> 20) % 300
         for k in range(max(1, -(-n_frames // 30))):
             out.append((str(int(row["doc_id"])), k * 30))
     return pd.DataFrame(out, columns=["media_id", "frame_idx"])

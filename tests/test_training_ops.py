@@ -314,3 +314,36 @@ def test_minhash_hot_band_bounded(ray_session):
     assert time.perf_counter() - t0 < 60
     # every surviving pair must still be a true duplicate
     assert (out["jaccard"] >= 0.8).all() if len(out) else True
+
+
+def test_multimodal_real_container_roundtrip():
+    """The PGM/WAV payloads are REAL container files: the decode stage
+    recovers exactly the planted dimensions / sample counts by parsing
+    bytes, and a corrupted image raises instead of guessing."""
+    import pyarrow as pa
+    import pytest
+
+    from dataflowkit_ray.stages.multimodal import (
+        MediaDecodeStage,
+        _decode_pgm,
+        synthesize_media,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),  # 0 -> image, 1 -> audio
+            "text": pa.array(["hello world tokens here", "a b c d e f g"]),
+        }
+    )
+    media = synthesize_media(docs)
+    out = MediaDecodeStage()(media)
+    img = out.slice(0, 1).to_pylist()[0]
+    n = len("hello world tokens here".encode())
+    assert img["width"] == 8 + n % 24 and img["height"] == 8 + (n // 3) % 16
+    aud = out.slice(1, 1).to_pylist()[0]
+    m = len("a b c d e f g".encode())
+    assert aud["n_frames"] == 64 + m % 256  # decoded WAV sample count
+    assert aud["width"] == 8000 and aud["height"] == 1  # rate / channels
+
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_pgm(b"P5\n4 4\n255\n" + b"x" * 7)
