@@ -47,17 +47,26 @@ def _read(sf_dir: str, table: str, columns: list[str]):
     )
 
 
-def _scaled_lineitem(t: pa.Table, date_col_keep: bool = False) -> dict[str, np.ndarray]:
+def _fixed(col, scale: int) -> np.ndarray:
+    """value -> fixed-point int64 with DuckDB's round() tie rule
+    (half-AWAY-from-zero; np.rint is half-to-even, and a price of
+    exactly 2.125 would scale to 212 here vs 213 in the oracle).
+    Non-negative money/quantity columns only."""
+    v = col.to_numpy(zero_copy_only=False) * scale
+    return np.floor(v + 0.5).astype(np.int64)
+
+
+def _scaled_lineitem(t: pa.Table) -> dict[str, np.ndarray]:
     """Fixed-point projections: qty in hundredths, price in cents,
-    discount in basis points, disc_price in cents*bp (÷1e6 to currency)."""
-    q = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-    p = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(
-        np.int64
-    )
-    d = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 10000).astype(
-        np.int64
-    )
-    return {"qty_c": q, "price_c": p, "disc_bp": d, "disc_price_c": p * (10000 - d)}
+    disc_price in cents*bp (÷1e6 to currency).  The single scaling
+    definition for BOTH relational queries — the two SQL oracles use the
+    same constants.  ``qty_c`` only when the projection carries it."""
+    p = _fixed(t["l_extendedprice"], 100)
+    d = _fixed(t["l_discount"], 10000)
+    out = {"price_c": p, "disc_price_c": p * (10000 - d)}
+    if "l_quantity" in t.column_names:
+        out["qty_c"] = _fixed(t["l_quantity"], 100)
+    return out
 
 
 def q_lineitem_agg(sf_dir: str):
@@ -182,16 +191,11 @@ def q_top_orders(sf_dir: str):
     def project_lineitem(t: pa.Table) -> pa.Table:
         ship = pc.cast(t["l_shipdate"], pa.int64())
         t = t.filter(pc.greater(ship, date))
-        p_ = np.rint(
-            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
-        d_ = np.rint(
-            t["l_discount"].to_numpy(zero_copy_only=False) * 10000
-        ).astype(np.int64)
+        s = _scaled_lineitem(t)
         return pa.table(
             {
                 "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
-                "revenue_c": pa.array(p_ * (10000 - d_)),
+                "revenue_c": pa.array(s["disc_price_c"]),
             }
         )
 

@@ -301,7 +301,12 @@ def validate_spec(spec: PipelineSpec) -> None:
             )
         if spec.dedup or spec.asof or spec.join:
             raise SpecError("streaming covers window/pattern stages only")
-        if spec.filters or spec.aggregates or spec.policy or spec.throttle:
+        if (
+            spec.filters
+            or spec.aggregates
+            or (spec.policy and spec.policy.enabled)
+            or spec.throttle
+        ):
             # reject rather than silently ignore: the streaming runners
             # execute a fixed window+pattern stage-set
             raise SpecError(

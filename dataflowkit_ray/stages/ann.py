@@ -58,10 +58,10 @@ def _emit_topk_rows(sims: np.ndarray, ids: np.ndarray, qids: np.ndarray, k: int)
     if Q == 0 or B == 0:
         return _TOPK_EMPTY
     ids = ids.astype(np.int64)
-    if len(ids) and int(ids.max()) >= (1 << 40):
-        # the composite key would overflow int64 and silently misorder;
+    if len(ids) and (int(ids.max()) >= (1 << 40) or int(ids.min()) < 0):
+        # the composite key would overflow/misorder silently;
         # fail loudly instead (remap snowflake-style ids upstream)
-        raise ValueError("_emit_topk_rows: neighbor ids must be < 2^40")
+        raise ValueError("_emit_topk_rows: neighbor ids must be in [0, 2^40)")
     top = min(k + 1, B)  # +1: a self-match may occupy a slot
     if top < B:
         idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]

@@ -96,13 +96,34 @@ def synthesize_media(t: pa.Table) -> pa.Table:
 
 
 def _decode_pgm(payload: bytes) -> dict:
-    """REAL PGM (P5) parse: header -> dims, pixel buffer -> mean luma."""
-    magic, dims, maxval, px = payload.split(b"\n", 3)
-    if magic != b"P5":
+    """REAL PGM (P5) parse per the Netpbm spec: whitespace-separated
+    header tokens with '#' comments, then w*h samples (2 bytes each
+    when maxval > 255) — not just the layout our synthesizer emits."""
+    if not payload.startswith(b"P5"):
         raise ValueError("not a P5 PGM")
-    w, h = (int(x) for x in dims.split())
-    if len(px) != w * h:
-        raise ValueError(f"truncated PGM: {len(px)} != {w}*{h}")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated PGM comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tok = payload[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"bad PGM header token {tok!r}")
+        vals.append(int(tok))
+    pos += 1  # exactly one whitespace byte after maxval, per spec
+    w, h, maxval = vals
+    bps = 1 if maxval < 256 else 2
+    px = payload[pos:]
+    if len(px) != w * h * bps:
+        raise ValueError(f"truncated PGM: {len(px)} != {w}x{h}x{bps}")
     return {"width": w, "height": h, "n_frames": 1}
 
 

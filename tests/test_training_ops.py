@@ -125,12 +125,14 @@ def test_text_stats_matches_pandas(ray_session):
             "n_distinct_words": words.apply(lambda w: len(set(w))),
         }
     )
-    exp["stopword_ratio"] = words.apply(
-        lambda w: round(sum(x in ("a", "the") for x in w) / max(len(w), 1), 6)
+    # half-AWAY rounding, matching the engine and the DuckDB oracle
+    # (python round() / pandas .round() are half-to-even and diverge on
+    # 6dp ties)
+    r6 = lambda x: np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+    exp["stopword_ratio"] = r6(
+        words.apply(lambda w: sum(x in ("a", "the") for x in w) / max(len(w), 1))
     )
-    exp["quality_score"] = (
-        exp.n_distinct_words / exp.n_words.clip(lower=1)
-    ).round(6)
+    exp["quality_score"] = r6(exp.n_distinct_words / exp.n_words.clip(lower=1))
     exp["lang_pred"] = np.where(exp.stopword_ratio >= 0.02, "en", "unk")
     pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
 
