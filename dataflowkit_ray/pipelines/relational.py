@@ -210,11 +210,30 @@ def q_top_orders(sf_dir: str):
 
     joined = bucket_equi_join(orders, revenue, on="o_orderkey", n_buckets=16)
 
-    top = joined.sort(
-        ["revenue_c", "o_orderkey"], descending=[True, False]
-    ).limit(10)
+    # scale-correct top-k: block-local top-10 partials (vectorized
+    # lexsort), then ONE tiny merge — a global sort of the joined
+    # aggregate would be an all-to-all whose only purpose is to keep 10
+    # rows
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "revenue_c": pa.array([], pa.int64()),
+                }
+            )
+        rc = t["revenue_c"].to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -rc))[:10]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[order].astype(np.int64)),
+                "revenue_c": pa.array(rc[order].astype(np.int64)),
+            }
+        )
 
     def finalize(t: pa.Table) -> pa.Table:
+        t = partial_topk(t)  # merge of <= 10 * n_blocks partial rows
         rc = t["revenue_c"].to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table(
             {
@@ -223,7 +242,11 @@ def q_top_orders(sf_dir: str):
             }
         )
 
-    return top.map_batches(finalize, batch_format="pyarrow")
+    return (
+        joined.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finalize, batch_format="pyarrow")
+    )
 
 
 TOP_ORDERS_SQL = f"""
