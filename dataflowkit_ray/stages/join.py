@@ -8,10 +8,13 @@ struct, N child rows become a list of structs
 
 Engine design, Ray-Data-first:
 
-1. Within an epoch, the join is a hash-shuffle ``Dataset.join`` on
-   ``doc_id`` (Ray 2.49 native, ``num_partitions`` explicit).  ``doc_id``
-   is high-cardinality, so the hash partitioning is naturally balanced
-   (SURVEY.md §4: skew lives in ``source``, not ``doc_id``).
+1. Within an epoch, the join is :func:`bucket_equi_join` — one sort
+   exchange on ``hash(doc_id) % n_buckets`` + a local Acero hash join
+   per bucket (it replaced Ray's native ``Dataset.join``, whose
+   actor-pool exchange dominated cpu-time; equivalence asserted in
+   tests).  ``doc_id`` is high-cardinality, so the hash partitioning is
+   naturally balanced (SURVEY.md §4: skew lives in ``source``, not
+   ``doc_id``).
 2. The embed rule is a pre-aggregation of the child side:
    ``child.groupby(doc_id) -> one row per key with details:list<struct>``.
    That keeps the join itself 1:1 and reproduces the reference's
