@@ -45,7 +45,9 @@ def project_events(t: pa.Table) -> pa.Table:
     d = et.dictionary_encode()
     uniq = d.dictionary.to_pylist()
     lut = np.asarray([EVENT_TOKENS.get(u, 0) for u in uniq], dtype=np.int64)
-    tok = lut[d.indices.to_numpy(zero_copy_only=False)]
+    from dataflowkit_ray.config import np_col
+
+    tok = lut[np_col(d.indices)]
     cols = {
         "key": pc.cast(t["user_id"], pa.int64()),
         "clock": pc.cast(t["ts"], pa.int64()),
@@ -58,45 +60,40 @@ def project_events(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def make_stage_router(shard_groups: list[list], n_shards: int, epoch: int):
-    """map_batches fn that routes its batch's rows to shard actors
-    DIRECTLY (the task is the data plane; the driver never holds rows).
+def make_chunk_process(shard_groups: list[list], n_shards: int, epoch: int, project):
+    """Per-chunk task body (``MicroBatchSource.run_epoch``): project the
+    chunk's rows and route them to shard actors DIRECTLY — the task is
+    the data plane; the driver never holds rows.
 
-    One ``stage`` call per (chunk piece, shard), keyed by
-    ``(chunk_seq, first _chunk_row of the piece)`` — deterministic, so a
-    retried/re-executed task re-sends the same keys harmlessly, while a
-    chunk whose output block Ray split across tasks stages each piece
-    under its own key (no silent overwrite).  ``shard_groups`` is a list
-    of actor LISTS: every actor in group i receives shard i's sub-batch
-    (e.g. session + CEP shards).  Blocks on the acks so epoch
-    consumption implies delivery."""
+    One ``stage`` call per (chunk, shard), keyed by ``(chunk_seq, first
+    _chunk_row)`` — deterministic, so a retried task re-sends the same
+    keys harmlessly.  ``shard_groups`` is a list of actor LISTS: every
+    actor in group i receives shard i's sub-batch (e.g. session + CEP
+    shards).  Blocks on the acks so epoch consumption implies delivery."""
     from dataflowkit_ray.stages.windows import bucket_of
     from dataflowkit_ray.state.store import table_to_bytes
 
-    def route(t: pa.Table) -> pa.Table:
+    def process(spec: dict, t: pa.Table) -> dict:
         refs = []
         n_rows = len(t)
         if n_rows:
-            chunk = t["chunk_seq"].to_numpy(zero_copy_only=False)
-            rowid = t["_chunk_row"].to_numpy(zero_copy_only=False)
-            for c in np.unique(chunk):
-                m = chunk == c
-                sub = t.filter(pa.array(m))
-                sub_rows = rowid[m]
-                sh = bucket_of(sub["key"], n_shards)
-                payload = sub.drop_columns(["chunk_seq", "_chunk_row"])
-                for shard_i in range(n_shards):
-                    ms = sh == shard_i
-                    if not ms.any():
-                        continue
-                    blob = table_to_bytes(payload.filter(pa.array(ms)))
-                    ckey = (int(c), int(sub_rows[ms].min()))
-                    for group in shard_groups:
-                        refs.append(group[shard_i].stage.remote(epoch, ckey, blob))
+            sub = project(t)
+            sh = bucket_of(sub["key"], n_shards)
+            payload = sub.drop_columns(
+                [c for c in ("chunk_seq", "_chunk_row") if c in sub.column_names]
+            )
+            ckey = (spec["seq"], spec["global_row_start"])
+            for shard_i in range(n_shards):
+                ms = sh == shard_i
+                if not ms.any():
+                    continue
+                blob = table_to_bytes(payload.filter(pa.array(ms)))
+                for group in shard_groups:
+                    refs.append(group[shard_i].stage.remote(epoch, ckey, blob))
         ray.get(refs)
-        return pa.table({"rows": pa.array([n_rows], pa.int64())})
+        return {"rows": n_rows}
 
-    return route
+    return process
 
 
 class EventStreamRunner:
@@ -127,11 +124,16 @@ class EventStreamRunner:
         self.ckpt = CheckpointStore(f"{work_dir}/checkpoint")
 
     def run(self, max_epochs: int | None = None) -> dict:
-        sessions = [SessionStateShard.remote(self.gap) for _ in range(self.n_shards)]
-        ceps = [
-            CEPStateShard.remote(self.pattern_steps, self.pattern_mode)
-            for _ in range(self.n_shards)
-        ]
+        from dataflowkit_ray.state.store import shard_pool
+
+        # session-scoped reusable pools: fresh-actor spawn + first-kernel
+        # warmup cost ~0.5 s per query at every scale (pure fixed cost)
+        sessions = shard_pool(
+            SessionStateShard, "sessions", self.n_shards, self.gap
+        )
+        ceps = shard_pool(
+            CEPStateShard, "cep", self.n_shards, self.pattern_steps, self.pattern_mode
+        )
         latest = self.ckpt.latest()
         finalized = False
         if latest is not None:
@@ -162,16 +164,14 @@ class EventStreamRunner:
             if max_epochs is not None and ran >= max_epochs:
                 break
             specs, new_offsets = self.source.next_slice(offsets)
-            # data plane: read tasks -> project -> route to shard actors
-            # INSIDE the tasks; the driver sees only 1-row ack summaries
-            ds = self.source.read_epoch(specs).map_batches(
-                project_events, batch_format="pyarrow"
+            # data plane: one task per chunk -> project -> route to shard
+            # actors INSIDE the task; the driver sees only ack dicts
+            self.source.run_epoch(
+                specs,
+                make_chunk_process(
+                    [sessions, ceps], self.n_shards, epoch, project_events
+                ),
             )
-            router = make_stage_router([sessions, ceps], self.n_shards, epoch)
-            for _ in ds.map_batches(router, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
-            ):
-                pass  # acks only (one tiny row per task)
             ray.get([s.seal.remote(epoch) for s in sessions])
             # each CEP shard writes its OWN match sink part (rows never
             # transit the driver); only part metadata comes back

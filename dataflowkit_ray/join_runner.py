@@ -59,52 +59,49 @@ class StreamJoinRunner:
         self.ckpt = CheckpointStore(f"{work_dir}/checkpoint")
 
     def _route_epoch(self, source, specs, project, shards, epoch, side) -> None:
-        """Data plane: read tasks project and push their rows straight to
-        the join shards (idempotent per (epoch, side, chunk_seq)); the
-        driver consumes only 1-row ack summaries."""
-        import numpy as np
-
+        """Data plane: one task per chunk projects its rows and pushes
+        them straight to the join shards (idempotent per (epoch, side,
+        chunk key)); the driver consumes only ack dicts."""
         from dataflowkit_ray.stages.windows import bucket_of
         from dataflowkit_ray.state.store import table_to_bytes
 
         n_shards = self.n_shards
 
-        def route(t: pa.Table) -> pa.Table:
+        def process(spec: dict, t: pa.Table) -> dict:
             refs = []
             n = len(t)
             if n:
-                chunk = t["chunk_seq"].to_numpy(zero_copy_only=False)
-                rowid = t["_chunk_row"].to_numpy(zero_copy_only=False)
-                for c in np.unique(chunk):
-                    m = chunk == c
-                    sub = t.filter(pa.array(m))
-                    sub_rows = rowid[m]
-                    sh = bucket_of(sub["doc_id"], n_shards)
-                    payload = sub.drop_columns(["chunk_seq", "_chunk_row"])
-                    for i in range(n_shards):
-                        ms = sh == i
-                        if not ms.any():
-                            continue
-                        ckey = (int(c), int(sub_rows[ms].min()))
-                        refs.append(
-                            shards[i].stage.remote(
-                                epoch,
-                                side,
-                                ckey,
-                                table_to_bytes(payload.filter(pa.array(ms))),
-                            )
+                sub = project(t)
+                sh = bucket_of(sub["doc_id"], n_shards)
+                payload = sub.drop_columns(
+                    [
+                        c
+                        for c in ("chunk_seq", "_chunk_row")
+                        if c in sub.column_names
+                    ]
+                )
+                ckey = (spec["seq"], spec["global_row_start"])
+                for i in range(n_shards):
+                    ms = sh == i
+                    if not ms.any():
+                        continue
+                    refs.append(
+                        shards[i].stage.remote(
+                            epoch,
+                            side,
+                            ckey,
+                            table_to_bytes(payload.filter(pa.array(ms))),
                         )
+                    )
             ray.get(refs)
-            return pa.table({"rows": pa.array([n], pa.int64())})
+            return {"rows": n}
 
-        ds = source.read_epoch(specs).map_batches(project, batch_format="pyarrow")
-        for _ in ds.map_batches(route, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        ):
-            pass
+        source.run_epoch(specs, process)
 
     def run(self, max_epochs: int | None = None) -> dict:
-        shards = [JoinStateShard.remote() for _ in range(self.n_shards)]
+        from dataflowkit_ray.state.store import shard_pool
+
+        shards = shard_pool(JoinStateShard, "join", self.n_shards)
         latest = self.ckpt.latest()
         if latest is not None:
             meta = self.ckpt.read_meta(latest)

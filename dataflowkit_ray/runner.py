@@ -3,31 +3,31 @@ watermark-driven emission -> exactly-once sink -> checkpoint.
 
 Mirrors the reference lifecycle (``Task.Parse``: validate -> workers ->
 pipeline -> encode, ``/root/reference/scrape/scrape.go:210-269``) recast
-per SURVEY.md §3.4: control stays in the driver, data never returns to it
-except (a) pre-aggregated per-epoch window partials and (b) sink
-manifests.  The partial transfer is bounded by #(source, window) pairs
-TOUCHED per epoch — at most (epoch_rows / window_size + n_partitions) x
-n_sources x n_batches-combined rows, independent of row count; with the
-default config that is O(10^2-10^3) rows/epoch however large the epoch.
-(The event/join runners, whose per-epoch state deltas ARE row-scale,
-route from map_batches tasks to shard actors instead — see
-``event_runner.make_stage_router``.)
+per SURVEY.md §3.4: control stays in the driver, data NEVER returns to it
+— not even pre-aggregated partials.  The data plane is per-chunk Ray
+tasks that compute per-(source, window) metric partials and ship them
+STRAIGHT to the :class:`WindowStateShard` actors (idempotent per
+(epoch, chunk) staging keys); closed windows are written by each shard
+as its OWN sink part.  The driver moves chunk specs, ack dicts and
+manifest metadata only — the same task->shard pattern as
+``event_runner`` / ``join_runner``.
 
 Per epoch:
 
 1. ``source.next_slice`` -> chunk specs (per-partition offsets advance);
-2. one ``map_batches`` pass per epoch computes ALL per-window metric
-   partials (sum/count/details/matches) batch-locally — the detail-embed
-   is batch-local because child chunks derive from their parent row, the
-   same containment the reference's ``divide`` guarantees for blocks in a
-   page (``scrape/scrape.go:447-517``); cross-epoch arrivals go through
-   :class:`~dataflowkit_ray.state.store.JoinStateShard` instead;
-3. partials merge into :class:`WindowStateShard` actors (idempotent per
-   epoch — a replayed epoch merges into the restored pre-epoch state);
+2. one RAY TASK per chunk reads its row-group slice, computes ALL
+   per-window metric partials (sum/count/details/matches) chunk-locally
+   — the detail-embed is chunk-local because child chunks derive from
+   their parent row, the same containment the reference's ``divide``
+   guarantees for blocks in a page (``scrape/scrape.go:447-517``) — and
+   stages them on the shard owning each (source, window) key;
+3. ``merge_staged`` folds the staged partials into shard state
+   (idempotent per epoch — a replayed epoch merges into the restored
+   pre-epoch state);
 4. watermark advances (min partition frontier); windows strictly below it
-   close and are popped deterministically (sorted) from every shard;
-5. closed windows commit through the exactly-once sink (deterministic
-   part names; replay rewrites, never appends);
+   close and each shard writes its own deterministic sink part
+   (``pop_closed_to_sink`` — replay rewrites, never appends);
+5. the driver publishes the epoch manifest (metadata only);
 6. checkpoint {offsets, watermark, state snapshots, metrics} — written
    AFTER the commit, so crash-between leaves a committed epoch that the
    resumed run simply re-commits byte-identically.
@@ -46,9 +46,40 @@ from dataflowkit_ray.sources.microbatch import MicroBatchSource
 from dataflowkit_ray.state.store import (
     ShardedState,
     WindowStateShard,
-    bytes_to_table,
     table_to_bytes,
 )
+
+
+def _window_chunk_process(partial_fn, shards):
+    """Factory for the per-chunk task body: chunk rows -> per-window
+    partials -> staged on the shard owning each (source, window) key.
+    Shard routing uses the SAME composite bucket as the state pool, so a
+    key always lands on the shard that accumulates (and later pops) it."""
+    n_shards = len(shards)
+
+    def for_epoch(epoch: int):
+        def process(spec: dict, t: pa.Table) -> dict:
+            from dataflowkit_ray.stages.agg import composite_bucket
+
+            p = partial_fn(t)
+            refs = []
+            if len(p):
+                sh = composite_bucket(p, ["source", "window_id"], n_shards)
+                ckey = (spec["seq"], spec["global_row_start"])
+                for i in range(n_shards):
+                    m = sh == i
+                    if m.any():
+                        refs.append(
+                            shards[i].stage.remote(
+                                epoch, ckey, table_to_bytes(p.filter(pa.array(m)))
+                            )
+                        )
+            ray.get(refs)  # epoch consumption implies delivery
+            return {"rows": len(t), "partial_rows": len(p)}
+
+        return process
+
+    return for_epoch
 
 
 def epoch_partials_fn(
@@ -87,7 +118,9 @@ def epoch_partials_fn(
         # details: chunks of a doc are batch-local -> n_details = ceil(n_tok/16)
         # (under sliding windows a doc counts once per covering window,
         # matching the batch semantics of assign_sliding + sum)
-        n_tok = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        from dataflowkit_ray.config import np_col
+
+        n_tok = np_col(b["n_tok"])
         nd = np.maximum(1, -(-n_tok // chunk_size))
         dt = pa.table(
             {
@@ -144,7 +177,10 @@ class StreamingRunner:
         self.ckpt = CheckpointStore(f"{work_dir}/checkpoint")
 
     def run(self, max_epochs: int | None = None) -> dict:
-        state = ShardedState(WindowStateShard, self.n_shards, list(_METRICS), "n_rows")
+        state = ShardedState(
+            WindowStateShard, self.n_shards, list(_METRICS), "n_rows",
+            pool="windows",
+        )
         latest = self.ckpt.latest()
         finalized = False
         if latest is not None:
@@ -166,31 +202,18 @@ class StreamingRunner:
                 break
             specs, new_offsets = self.source.next_slice(offsets)
             rows_in = sum(s["n_rows"] for s in specs)
-            ds = self.source.read_epoch(specs)
-            partials = ds.map_batches(partial_fn, batch_format="pyarrow")
-            # bounded driver transfer: pre-aggregated per-window partials
-            ptables = [
-                b for b in partials.iter_batches(batch_format="pyarrow") if len(b)
-            ]
-            if ptables:
-                merged = (
-                    pa.concat_tables(ptables)
-                    .group_by(["source", "window_id"])
-                    .aggregate([(m, "sum") for m in _METRICS])
-                    .rename_columns(["source", "window_id", *list(_METRICS)])
-                )
-                refs = []
-                for shard, sub in zip(
-                    state.shards, state.route(merged, ["source", "window_id"])
-                ):
-                    if sub is not None:
-                        refs.append(shard.merge.remote(epoch, table_to_bytes(sub)))
-                ray.get(refs)
+            # data plane: one task per chunk -> partials -> shard staging;
+            # the driver sees only the per-chunk ack dicts
+            self.source.run_epoch(
+                specs, _window_chunk_process(partial_fn, state.shards)(epoch)
+            )
+            n_partials = sum(
+                ray.get([s.merge_staged.remote(epoch) for s in state.shards])
+            )
 
             offsets = new_offsets
             wm_event = self.source.watermark(offsets)
             wm_window = self._closed_frontier(wm_event)
-            n_partials = sum(len(t) for t in ptables)
             self._commit(
                 epoch, wm_window, offsets, wm_event, state,
                 metrics={"rows_in": rows_in, "chunks": len(specs),
@@ -234,21 +257,23 @@ class StreamingRunner:
     def _commit(
         self, epoch, wm_window, offsets, wm_event, state, final=False, metrics=None
     ):
-        import ray.data
-
-        popped = [
-            bytes_to_table(b)
-            for b in ray.get(
-                [s.pop_closed.remote(wm_window) for s in state.shards]
+        # each shard writes its OWN sink part (closed-window rows never
+        # transit the driver); the driver assembles manifests only
+        parts = [
+            p
+            for p in ray.get(
+                [
+                    s.pop_closed_to_sink.remote(
+                        wm_window, self.sink.parts_dir, epoch, i
+                    )
+                    for i, s in enumerate(state.shards)
+                ]
             )
+            if p is not None
         ]
-        rows = pa.concat_tables([t for t in popped if len(t)]) if any(
-            len(t) for t in popped
-        ) else popped[0]
-        ds = ray.data.from_arrow(rows)
-        self.sink.commit_epoch(
-            ds,
+        self.sink.publish_epoch(
             epoch,
+            parts,
             extra={
                 "offsets": offsets,
                 "watermark_event": wm_event,

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from dataflowkit_ray.config import np_col
 from dataflowkit_ray.tokenize import fnv1a64_numpy
 
 
@@ -33,10 +34,7 @@ from dataflowkit_ray.tokenize import fnv1a64_numpy
 
 
 def _seq_np(batch: pa.Table, col: str) -> np.ndarray:
-    c = batch[col]
-    if isinstance(c, pa.ChunkedArray):
-        c = c.combine_chunks()
-    return c.to_numpy(zero_copy_only=False).astype(np.int64)
+    return np_col(batch[col])
 
 
 def assign_tumbling(batch: pa.Table, size: int, clock_col: str = "event_seq") -> pa.Table:
@@ -86,14 +84,14 @@ def bucket_of(arr: pa.Array | pa.ChunkedArray, n_buckets: int) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
-        h = fnv1a64_numpy(arr.to_numpy(zero_copy_only=False).astype(np.int64))
+        h = fnv1a64_numpy(np_col(arr))
     else:
         d = arr.dictionary_encode()
         uniq = d.dictionary.to_pylist()
         uh = np.fromiter(
             (zlib.crc32(str(u).encode()) for u in uniq), count=len(uniq), dtype=np.int64
         )
-        h = fnv1a64_numpy(uh[d.indices.to_numpy(zero_copy_only=False)])
+        h = fnv1a64_numpy(uh[np_col(d.indices)])
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
@@ -114,11 +112,8 @@ def sessionize_table(
     keys = t[key_col]
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    codes = keys.dictionary_encode().indices.to_numpy(zero_copy_only=False)
-    clock = t[clock_col]
-    if isinstance(clock, pa.ChunkedArray):
-        clock = clock.combine_chunks()
-    clock = clock.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = np_col(keys.dictionary_encode().indices)
+    clock = np_col(t[clock_col])
     new_s = np.ones(len(t), dtype=bool)
     new_s[1:] = (codes[1:] != codes[:-1]) | (np.diff(clock) > gap)
     starts_idx = np.nonzero(new_s)[0]

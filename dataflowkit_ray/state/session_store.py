@@ -22,7 +22,12 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from dataflowkit_ray.state.store import StagingBuffer, bytes_to_table, table_to_bytes
+from dataflowkit_ray.state.store import (
+    StagingBuffer,
+    bytes_to_table,
+    np_int64,
+    table_to_bytes,
+)
 
 
 @ray.remote
@@ -39,6 +44,13 @@ class SessionStateShard:
         # the same batch and re-raises)
         self.ooo_dropped: int = 0
         self.staging = StagingBuffer()
+        from dataflowkit_ray.state.store import warm_arrow_kernels
+
+        warm_arrow_kernels()
+
+    def reset(self, *args) -> None:
+        """Re-initialize for pool reuse (see ``store.shard_pool``)."""
+        self.__init__(*args)
 
     def stage(self, epoch: int, chunk_seq: int, blob: bytes) -> None:
         """Idempotent (epoch, chunk) staging — the data-plane entry point
@@ -80,8 +92,8 @@ class SessionStateShard:
             k_col = k_col.combine_chunks()
         d = k_col.dictionary_encode()
         uniq = d.dictionary.to_pylist()
-        g = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        cl = t["clock"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = np_int64(d.indices)
+        cl = np_int64(t["clock"])
         order = np.lexsort((cl, g))
         g, cl = g[order], cl[order]
 
@@ -238,6 +250,12 @@ class CEPStateShard:
         self.matchers: dict = {}
         self.last_applied: int = -1
         self.staging = StagingBuffer()
+        from dataflowkit_ray.state.store import warm_arrow_kernels
+
+        warm_arrow_kernels()
+
+    def reset(self, *args) -> None:
+        self.__init__(*args)
 
     def stage(self, epoch: int, chunk_seq: int, blob: bytes) -> None:
         self.staging.stage(epoch, chunk_seq, blob, self.last_applied)
@@ -297,8 +315,8 @@ class CEPStateShard:
         from dataflowkit_ray.stages.cep import StreamingMatcher
 
         keys = t["key"].to_pylist()
-        clocks = t["clock"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tokens = t["token"].to_numpy(zero_copy_only=False).astype(np.int64)
+        clocks = np_int64(t["clock"])
+        tokens = np_int64(t["token"])
         order = np.lexsort((clocks, np.asarray([hash(k) for k in keys])))
         out_k, out_s, out_e = [], [], []
         for i in order:

@@ -41,6 +41,54 @@ def bytes_to_table(b: bytes) -> pa.Table:
     return ipc.open_stream(io.BytesIO(b)).read_all()
 
 
+from dataflowkit_ray.config import np_col as np_int64  # pandas-free int view
+
+
+def warm_arrow_kernels() -> None:
+    """Touch the Arrow kernels the shard actors use, once, at actor
+    construction: the FIRST dispatch of a compute kernel in a fresh
+    process pays ~0.2-0.3 s of lazy initialization, which previously
+    landed on the first epoch's seal/merge call (serialized behind the
+    epoch barrier).  In ``__init__`` the cost overlaps actor spawn across
+    the whole pool.  Nearly free when the process is already warm."""
+    import pyarrow.compute as pc
+
+    t = pa.table({"k": pa.array(["a", "b"]), "v": pa.array([2, 1], pa.int64())})
+    t["k"].combine_chunks().dictionary_encode()
+    pc.sort_indices(t, sort_keys=[("v", "ascending")])
+    t.take(pa.array([0], pa.int64()))
+    bytes_to_table(table_to_bytes(t))
+
+
+_POOLS: dict = {}
+
+
+def shard_pool(actor_cls, name: str, n: int, *args) -> list:
+    """Session-scoped REUSABLE shard-actor pool.
+
+    Spawning a shard pool per query cost ~0.5 s (actor process startup +
+    first-kernel warmup) at EVERY scale — pure fixed overhead.  A pool is
+    keyed by (name, n) and reused across runs in the same driver
+    session; ``reset(*args)`` re-runs ``__init__`` so each run starts
+    from empty state (resumed runs then ``restore`` their checkpoint on
+    top, exactly as with fresh actors).  Dead handles (e.g. after a
+    ``ray.shutdown``/``ray.init`` cycle in tests) are detected and the
+    pool respawned."""
+    import ray
+
+    key = (name, n)
+    pool = _POOLS.get(key)
+    if pool is not None:
+        try:
+            ray.get([a.reset.remote(*args) for a in pool])
+            return pool
+        except Exception:
+            pass  # dead pool (new ray session) -> respawn below
+    pool = [actor_cls.remote(*args) for _ in range(n)]
+    _POOLS[key] = pool
+    return pool
+
+
 class StagingBuffer:
     """Idempotent (epoch, chunk)-keyed staging of Arrow blobs inside a
     shard actor.
@@ -97,18 +145,45 @@ class WindowStateShard:
         self.last_applied: int = -1
         self.closed_frontier: int = -1  # max closed window_id
         self.late_rows: int = 0
+        self.staging = StagingBuffer()
+        warm_arrow_kernels()
+
+    def reset(self, *args) -> None:
+        """Re-initialize for pool reuse (see :func:`shard_pool`)."""
+        self.__init__(*args)
+
+    def stage(self, epoch: int, chunk_key, blob: bytes) -> None:
+        """Idempotent (epoch, chunk)-keyed staging — the data-plane entry
+        point for chunk TASKS (rows/partials never visit the driver); a
+        retried task re-sends identical bytes under the same key."""
+        self.staging.stage(epoch, chunk_key, blob, self.last_applied)
+
+    def merge_staged(self, epoch: int) -> int:
+        """Apply every staged partial of the epoch (chunk-key order).
+        Duplicate (source, window) keys across chunks fold via the
+        state-dict ``+=`` — deliberately NO Arrow groupby here: the
+        first groupby in a fresh actor process pays ~0.25 s of kernel
+        initialization, which dominated the whole streaming query.
+        Returns the number of staged partial rows (metrics only)."""
+        t = self.staging.drain(epoch)
+        if epoch <= self.last_applied:
+            return 0
+        self.last_applied = epoch
+        if t is None or len(t) == 0:
+            return 0
+        self._merge_table(t)
+        return len(t)
 
     def merge(self, epoch: int, blob: bytes) -> None:
         if epoch <= self.last_applied:
             return
         self.last_applied = epoch
-        t = bytes_to_table(blob)
+        self._merge_table(bytes_to_table(blob))
+
+    def _merge_table(self, t: pa.Table) -> None:
         srcs = t["source"].to_pylist()
         wids = t["window_id"].to_pylist()
-        vals = np.stack(
-            [t[m].to_numpy(zero_copy_only=False).astype(np.int64) for m in self.metrics],
-            axis=1,
-        )
+        vals = np.stack([np_int64(t[m]) for m in self.metrics], axis=1)
         for s, w, v in zip(srcs, wids, vals):
             if w <= self.closed_frontier:
                 self.late_rows += (
@@ -147,6 +222,20 @@ class WindowStateShard:
         )
         return table_to_bytes(t)
 
+    def pop_closed_to_sink(
+        self, watermark_window: int, parts_dir: str, epoch: int, part_idx: int
+    ) -> dict | None:
+        """Pop closed windows AND write them as this shard's OWN
+        deterministic sink part (the ``SessionStateShard`` /
+        ``JoinStateShard`` pattern): closed-window rows never visit the
+        driver, which gets back only part metadata for the manifest."""
+        from dataflowkit_ray.sinks.exactly_once import write_sink_part
+
+        t = bytes_to_table(self.pop_closed(watermark_window))
+        if not len(t):
+            return None
+        return write_sink_part(parts_dir, epoch, part_idx, t)
+
     def snapshot(self) -> dict:
         keys = sorted(self.state)
         t = pa.table(
@@ -174,8 +263,7 @@ class WindowStateShard:
         srcs = t["source"].to_pylist()
         wids = t["window_id"].to_pylist()
         vals = np.stack(
-            [t[m].to_numpy(zero_copy_only=False).astype(np.int64) for m in self.metrics],
-            axis=1,
+            [np_int64(t[m]) for m in self.metrics], axis=1
         ) if len(t) else np.zeros((0, len(self.metrics)), dtype=np.int64)
         for s, w, v in zip(srcs, wids, vals):
             self.state[(s, int(w))] = v.copy()
@@ -219,6 +307,10 @@ class JoinStateShard:
         self.expired_rows = 0
         self.staging = StagingBuffer()
         self.sealed_through = -1
+        warm_arrow_kernels()
+
+    def reset(self, *args) -> None:
+        self.__init__(*args)
 
     @staticmethod
     def _gather(tabs: list[pa.Table], locs: list[tuple[int, int]]) -> pa.Table:
@@ -436,11 +528,17 @@ class JoinStateShard:
 
 
 class ShardedState:
-    """Driver-side handle over a pool of state shards."""
+    """Driver-side handle over a pool of state shards.
 
-    def __init__(self, actor_cls, n_shards: int, *args):
+    ``pool`` reuses a session-scoped named pool (:func:`shard_pool`)
+    instead of spawning fresh actors — the per-query fixed-cost fix."""
+
+    def __init__(self, actor_cls, n_shards: int, *args, pool: str | None = None):
         self.n_shards = n_shards
-        self.shards = [actor_cls.remote(*args) for _ in range(n_shards)]
+        if pool is not None:
+            self.shards = shard_pool(actor_cls, pool, n_shards, *args)
+        else:
+            self.shards = [actor_cls.remote(*args) for _ in range(n_shards)]
 
     def shard_of_table(self, t: pa.Table, key_cols: list[str]) -> np.ndarray:
         from dataflowkit_ray.stages.agg import composite_bucket
@@ -493,6 +591,10 @@ class LatestValueShard:
 
     def __init__(self):
         self.state: dict = {}  # key -> (clock, value)
+        warm_arrow_kernels()
+
+    def reset(self, *args) -> None:
+        self.__init__(*args)
 
     def put_batch(self, blob: bytes) -> int:
         t = bytes_to_table(blob)

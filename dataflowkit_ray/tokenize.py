@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from dataflowkit_ray.config import VOCAB_MOD, FNV_OFFSET, FNV_PRIME, MASK64
+from dataflowkit_ray.config import VOCAB_MOD, FNV_OFFSET, FNV_PRIME, MASK64, np_col
 
 # The single source of truth for the DuckDB-side tokenizer (oracle parity).
 TOKEN_SQL_EXPR = (
@@ -85,10 +85,10 @@ def tokenize_text(text: pa.Array | pa.ChunkedArray) -> tuple[pa.ListArray, pa.Ar
         text = text.combine_chunks()
     words = pc.split_pattern(text, pattern=" ")
     flat = words.flatten()
-    lengths = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = np_col(pc.utf8_length(flat))
     first = _first_codepoints(flat)
     tok = ((lengths * 256 + first) % VOCAB_MOD).astype(np.int32)
-    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int32)
+    offsets = np_col(words.offsets, np.int32)
     offsets = offsets - offsets[0]
     tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(tok, type=pa.int32()))
     n_tok = pc.cast(pc.list_value_length(tokens), pa.int32())
@@ -131,7 +131,7 @@ def replicate_slice(t: pa.Table, lo: int, hi: int, id_stride: int = 10_000_000) 
     seq = t["event_seq"]
     if isinstance(seq, pa.ChunkedArray):
         seq = seq.combine_chunks()
-    seq = seq.to_numpy(zero_copy_only=False)
+    seq = np_col(seq)
     idx = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
     new_seq = pa.array(
         np.tile(seq, k)
@@ -269,8 +269,8 @@ def hash_token_lists(tokens: pa.ListArray) -> np.ndarray:
     exact-dedup / idempotency key."""
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
-    flat = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.uint32)
-    offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np_col(tokens.flatten(), np.uint32)
+    offsets = np_col(tokens.offsets)
     offsets = offsets - offsets[0]
     n = len(tokens)
     out = np.full(n, FNV_OFFSET, dtype=np.uint64)
@@ -309,7 +309,7 @@ def full_hash64(arr) -> "np.ndarray":
     if _pa.types.is_integer(arr.type):
         # nulls hash as 0 (to_numpy would smuggle NaN through the cast)
         arr = _pc.fill_null(arr, 0)
-        return fnv1a64_numpy(arr.to_numpy(zero_copy_only=False).astype(np.int64))
+        return fnv1a64_numpy(np_col(arr))
     # nulls hash like the empty string (dictionary_encode keeps them as
     # null INDICES, which to_numpy turns into float NaN -> IndexError)
     arr = _pc.fill_null(arr, "")
@@ -325,4 +325,4 @@ def full_hash64(arr) -> "np.ndarray":
         count=len(uniq),
         dtype=np.uint64,
     )
-    return uh[d.indices.to_numpy(zero_copy_only=False)]
+    return uh[np_col(d.indices)]
