@@ -188,9 +188,9 @@ def q_cep_contiguous(sf_dir: str):
 def q_streaming_windowed(sf_dir: str):
     """Full streaming path: micro-batch epochs -> window state actors ->
     watermark close -> exactly-once sink; returns the committed output.
-    No SQL oracle (stateful multi-epoch execution; n_matches needs the
-    leftmost-greedy gapped NFA) — equality vs the batch pipeline is
-    enforced in tests/test_runner.py instead."""
+    DuckDB oracle: tumbling aggregate + the CEP scanner replayed as a
+    lazy-gap RE2 over hex-encoded token streams (``sqlgen.cep_regex``;
+    regex-vs-scanner equivalence asserted in tests/test_sql_parity.py)."""
     import tempfile
 
     from dataflowkit_ray.runner import StreamingRunner
@@ -257,8 +257,10 @@ def _epoch_rows(path: str, n_epochs: int = 10, floor: int = 512) -> int:
 def q_streaming_funnel(sf_dir: str):
     """Cross-batch CEP output: signup -> purchase (gap <= 3 events) per
     user, with NFA partial runs carried across epochs in state shards.
-    No SQL oracle (leftmost-greedy nonoverlapping NFA needs recursion);
-    equality vs the batch matcher is enforced in tests/test_event_runner."""
+    DuckDB oracle: the NFA replayed as an index-carrying lazy-gap RE2
+    over per-user clock-ordered event tokens (``sqlgen.cep_regex_indexed``
+    — capture groups recover the start/end event indices, joined back to
+    clocks; equivalence asserted in tests/test_sql_parity.py)."""
     import tempfile
 
     from dataflowkit_ray.event_runner import EventStreamRunner
@@ -690,6 +692,73 @@ ORACLES["filtered_read"] = """
 """
 ORACLES["drop_short"] = f"""
     WITH {TOKEN_CTE} SELECT doc_id, n_tok, source FROM tok WHERE n_tok > 40
+"""
+
+from dataflowkit_ray.pipelines import sqlgen as _sg
+
+# streaming_windowed: the committed stream output equals the batch
+# tumbling aggregate; n_matches replays the gapped CEP scanner as a
+# lazy-gap RE2 over hex-encoded token streams (sqlgen.cep_regex —
+# equivalence vs the scanner asserted in tests/test_sql_parity.py).
+_WIN_PAT = _sg.cep_regex(
+    [_sg.hex4(token_id("spark")), _sg.hex4(token_id("join"))], [3]
+)
+ORACLES["streaming_windowed"] = f"""
+    WITH {TOKEN_CTE},
+    enc AS (
+      SELECT source, event_seq // {CFG.tumbling_size} AS window_id, n_tok,
+             {_sg.tokens_to_hexstr_expr('tokens')} AS s
+      FROM tok
+    )
+    SELECT source, window_id,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+           COUNT(*) AS n_rows,
+           CAST(SUM(GREATEST(1, CAST(ceil(n_tok / 16.0) AS BIGINT))) AS BIGINT) AS n_details,
+           CAST(SUM(len(regexp_extract_all(s, '{_WIN_PAT}'))) AS BIGINT) AS n_matches
+    FROM enc GROUP BY 1, 2
+"""
+
+# streaming_funnel: the cross-epoch NFA (signup -> purchase, gap <= 3)
+# replayed as an index-carrying lazy-gap RE2 over per-user clock-ordered
+# event tokens; the two capture groups recover the start/end event
+# indices, joined back to their clocks.  (user_id, ts) has no ties in the
+# events tables, so ORDER BY clock is deterministic.
+_FUNNEL_PAT = _sg.cep_regex_indexed([_sg.hex4(3), _sg.hex4(4)], [3])
+ORACLES["streaming_funnel"] = f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS clock,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4
+                  WHEN 'error' THEN 5 ELSE 0 END AS token
+      FROM events
+    ),
+    ordered AS (
+      SELECT user_id, clock, token,
+             row_number() OVER (PARTITION BY user_id ORDER BY clock) - 1 AS idx
+      FROM ev
+    ),
+    enc AS (
+      SELECT user_id,
+             string_agg('g' || printf('%04x', token) || 'i' || printf('%012d', idx),
+                        '' ORDER BY idx) AS s
+      FROM ordered GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id,
+             regexp_extract_all(s, '{_FUNNEL_PAT}', 1) AS starts,
+             regexp_extract_all(s, '{_FUNNEL_PAT}', 2) AS ends
+      FROM enc
+    ),
+    pairs AS (
+      SELECT user_id, CAST(unnest(starts) AS BIGINT) AS si,
+             CAST(unnest(ends) AS BIGINT) AS ei
+      FROM m
+    )
+    SELECT CAST(p.user_id AS BIGINT) AS key, o1.clock AS start_seq,
+           o2.clock + 1 AS end_seq
+    FROM pairs p
+    JOIN ordered o1 ON o1.user_id = p.user_id AND o1.idx = p.si
+    JOIN ordered o2 ON o2.user_id = p.user_id AND o2.idx = p.ei
 """
 
 from dataflowkit_ray.pipelines.relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES

@@ -1,6 +1,8 @@
 """Training-data pipeline queries: dedup family, similarity search, text
-analysis, multimodal plumbing — each with a DuckDB oracle where SQL can
-express the semantics (LSH/stub stages are rows-only, pytest-verified).
+analysis, multimodal plumbing — each with a DuckDB oracle (hash kernels
+replayed in SQL via ``pipelines.sqlgen`` where needed); only the
+multimodal decode query relies on the pure-python ``reference_impl``
+oracle instead.
 """
 
 from __future__ import annotations
@@ -306,4 +308,49 @@ TRAINING_ORACLES["quality_filter"] = REPETITION_SQL
 from dataflowkit_ray.stages.textstats import TOKEN_COUNT_SQL
 
 TRAINING_ORACLES["token_counts"] = TOKEN_COUNT_SQL
+
+from dataflowkit_ray.pipelines import sqlgen as _sg
+from dataflowkit_ray.tokenize import TOKEN_SQL_EXPR as _TOKEN_SQL_EXPR
+
+# doc_fingerprint: FNV-1a-64 over the token array's int32 LE bytes,
+# replayed in DuckDB via list_reduce (sqlgen.token_list_fnv_expr —
+# byte-for-byte vs the engine kernel, tests/test_sql_parity.py).
+TRAINING_ORACLES["doc_fingerprint"] = f"""
+    WITH tok AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_TOKEN_SQL_EXPR} AS tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           {_sg.u64_to_i64(_sg.token_list_fnv_expr('tokens'))} AS fingerprint
+    FROM tok
+"""
+
+# simhash_pairs: full fingerprint replay (md5-lower-64 word hashes ->
+# FNV shingle chains -> bit votes) + all-pairs Hamming filter; exact
+# because the engine's 4-block pigeonhole blocking has recall 1.0 at
+# Hamming <= 3 and verifies true distances.
+TRAINING_ORACLES["simhash_pairs"] = _sg.simhash_pairs_sql(max_hamming=3)
+
+# lsh_dup_pairs: at threshold 0.95 over the planted-dup corpus the
+# exact all-pairs join IS the specification (natural max off-diagonal
+# cosine ~0.51; per-pair LSH miss probability ~1e-10) — DuckDB replants
+# the dups and cross-joins.  The plane-replay candidate-set oracle stays
+# in reference_impl.oracle for exact-recall cross-checks.
+TRAINING_ORACLES["lsh_dup_pairs"] = """
+    WITH base AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    planted AS (
+      SELECT vec_id + 10000000 AS vec_id,
+             list_prepend(v[1] + 0.01 * sqrt(list_sum(list_transform(v, x -> x * x))),
+                          v[2:]) AS v
+      FROM base
+    ),
+    allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+"""
 

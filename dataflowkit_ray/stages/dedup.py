@@ -16,8 +16,9 @@ as ``stages/agg.hash_agg``.  The verify step is a BUCKET JOIN of the
 candidate-pair stream against the (doc -> shingles) stream: no driver
 materialization, no corpus-data broadcast, each stage streams.
 
-Hashing is deterministic and full-width: word hashes are blake2b-8 over
-the per-batch dictionary of unique words (vectorized via
+Hashing is deterministic and full-width: word hashes are md5-lower-64
+(DuckDB ``md5_number_lower``-replayable) over the per-batch dictionary
+of unique words (vectorized via
 ``dictionary_encode`` — the Python cost is O(unique words), amortized
 over repeats, the same pattern as ``stages/textstats.py``); shingle
 hashes are an FNV-1a chain over the word hashes.  Full 64-bit width so
@@ -44,9 +45,12 @@ from dataflowkit_ray.tokenize import fnv1a64_numpy, full_hash64
 def _word_hashes(text: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     """Split on ' ' -> (row_offsets int64 (n+1), flat 64-bit word hashes).
 
-    Word hash = blake2b-8 of the word bytes, computed once per UNIQUE
-    word in the batch (dictionary-encode) and broadcast through the
-    codes — vectorized; no per-row Python."""
+    Word hash = lower 8 bytes (little-endian) of md5 of the word bytes —
+    chosen so a DuckDB oracle can replay it verbatim via
+    ``md5_number_lower`` (byte-order equality asserted in
+    tests/test_sql_parity.py).  Computed once per UNIQUE word in the
+    batch (dictionary-encode) and broadcast through the codes —
+    vectorized; no per-row Python."""
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     text = pc.fill_null(text, "")
@@ -60,9 +64,7 @@ def _word_hashes(text: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarr
     uniq = d.dictionary.to_pylist()
     uh = np.fromiter(
         (
-            int.from_bytes(
-                hashlib.blake2b(u.encode(), digest_size=8).digest(), "little"
-            )
+            int.from_bytes(hashlib.md5(u.encode()).digest()[8:], "little")
             for u in uniq
         ),
         count=len(uniq),

@@ -57,11 +57,11 @@ def fnv1a_u64(v: int) -> int:
 
 
 def word_hash(w: str) -> int:
-    return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+    return int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little")
 
 
 def shingle_set(text: str, w: int = 3) -> list[int]:
-    """Sorted unique FNV chains over blake2b-8 word hashes; rows with
+    """Sorted unique FNV chains over md5-lower-64 word hashes; rows with
     fewer than w words emit one length-1 chain per word."""
     words = (text or "").split(" ")
     hs = [word_hash(x) for x in words]
