@@ -475,6 +475,35 @@ def q_quantiles_sketch(sf_dir: str):
     )
 
 
+def q_quantiles_sketch_approx(sf_dir: str):
+    """The quantile sketch's SUB-SAMPLING regime, driver-gated: k=8 with
+    ~25 docs/source at sf0.01, so every group keeps 8 of ``seen`` rows
+    (kept < seen).  The bottom-k-by-hash sample is deterministic
+    (``full_hash64`` = FNV-1a over the int64 ``event_seq`` = the numeric
+    doc id), so the DuckDB oracle replays the SELECTION itself — rank
+    rows by the same hash, keep 8, quantile_disc over the kept set — and
+    the compare stays bit-exact even though the sketch is
+    approximating."""
+    import pyarrow.compute as _pc
+
+    from dataflowkit_ray.stages.sketch import quantile_sketch
+
+    out = quantile_sketch(
+        load_token_stream(sf_dir), ("source",), "n_tok", (0.5, 0.9),
+        k=8, id_col="event_seq",
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "q50": _pc.cast(t["q50"], pa.int64()),
+                "q90": _pc.cast(t["q90"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_avg_tok(sf_dir: str):
     """Mean token count per source — the derived (sum, count) aggregate
     riding one bucket shuffle (stages/agg.py ``mean``)."""
@@ -634,6 +663,7 @@ QUERIES = {
     "source_policy": q_source_policy,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
+    "quantiles_sketch_approx": q_quantiles_sketch_approx,
     "avg_tok": q_avg_tok,
 }
 
@@ -651,6 +681,29 @@ ORACLES["quantiles"] = f"""
 """
 
 ORACLES["quantiles_sketch"] = ORACLES["quantiles"]
+
+# the sub-sampling regime: replay the deterministic bottom-k-by-hash
+# selection (full_hash64 over int64 ids = sqlgen's FNV fold), then
+# quantile_disc over the kept sample — bit-exact despite kept < seen.
+from dataflowkit_ray.pipelines import sqlgen as _sg_q
+
+ORACLES["quantiles_sketch_approx"] = f"""
+    WITH {TOKEN_CTE},
+    hashed AS (
+      SELECT source, n_tok,
+             {_sg_q.fnv1a64_int_expr('CAST(doc_id AS BIGINT)')} AS h
+      FROM tok
+    ),
+    ranked AS (
+      SELECT source, n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS r
+      FROM hashed
+    )
+    SELECT source,
+           CAST(quantile_disc(n_tok, 0.50) AS BIGINT) AS q50,
+           CAST(quantile_disc(n_tok, 0.90) AS BIGINT) AS q90
+    FROM ranked WHERE r <= 8 GROUP BY source
+"""
 
 ORACLES["asof_profile"] = """
     WITH l AS (SELECT user_id, epoch_us(ts) AS purchase_ts, value
