@@ -1,12 +1,14 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata, with
 actor-pool decode / feature-extract stages.
 
-Decode is REAL for two modalities: PGM (P5) images parse with pure
-numpy/bytes and WAV audio with the stdlib ``wave`` module — actual
-byte-level container decoding, not fakes.  Only the video branch stays a
-clearly-marked deterministic stub (no video container codec ships in
-this environment); swapping in a real one means replacing
-:func:`_decode_stub` only.
+Decode is REAL for all three modalities: PGM (P5) images parse with pure
+numpy/bytes, WAV audio with the stdlib ``wave`` module, and video as
+Y4M (YUV4MPEG2) — the raw-frame interchange container (plain-text
+header + FRAME-delimited uncompressed planes, mjpegtools spec), parsed
+byte-level against the declared colorspace's plane geometry.  Compressed
+codecs (H.264 etc.) need libav and are rejected with
+``NotImplementedError`` — the honest boundary of a no-external-codec
+environment.
 
 Pattern (mandated for stateful stages): ``map_batches(Cls,
 concurrency=N, batch_size=B)`` — the "model load" happens once per actor
@@ -21,7 +23,6 @@ from __future__ import annotations
 
 import io
 import wave
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -61,12 +62,27 @@ def _wav_payload(text_bytes: bytes, n_samples: int, rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+def _y4m_payload(text_bytes: bytes, w: int, h: int, n_frames: int) -> bytes:
+    """A real YUV4MPEG2 (Y4M) video: header + ``n_frames`` FRAME-marked
+    uncompressed 4:2:0 frames whose luma plane is the text bytes cycled —
+    a VALID stream any Y4M reader (ffmpeg, mjpegtools) decodes."""
+    frame_bytes = w * h + 2 * ((w // 2) * (h // 2))  # C420 plane geometry
+    src = text_bytes or b"\x00"
+    reps = -(-frame_bytes // len(src))
+    plane = (src * reps)[:frame_bytes]
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+    for _ in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(plane)
+    return b"".join(out)
+
+
 def synthesize_media(t: pa.Table) -> pa.Table:
     """documents batch -> deterministic media table with REAL container
-    payloads: PGM images (doc_id %% 3 == 0), WAV audio (== 1), and an
-    opaque byte blob standing in for video (== 2).  Image dims / sample
-    counts derive from the text length, so the decode stage's output is
-    a pure function of the input (bit-identical replays)."""
+    payloads: PGM images (doc_id %% 3 == 0), WAV audio (== 1), and Y4M
+    video (== 2).  Image dims / sample counts / frame counts derive from
+    the text length, so the decode stage's output is a pure function of
+    the input (bit-identical replays)."""
     ids = t["doc_id"].to_pylist()
     texts = t["text"].to_pylist()
     kinds, payloads = [], []
@@ -82,8 +98,10 @@ def synthesize_media(t: pa.Table) -> pa.Table:
             kinds.append("audio")
             payloads.append(_wav_payload(b, 64 + len(b) % 256))
         else:
+            w = 16 + 2 * (len(b) % 12)
+            h = 16 + 2 * ((len(b) // 3) % 8)
             kinds.append("video")
-            payloads.append(b)
+            payloads.append(_y4m_payload(b, w, h, 8 + len(b) % 64))
     payload = pa.array(payloads, pa.binary())
     return pa.table(
         {
@@ -139,29 +157,72 @@ def _decode_wav(payload: bytes) -> dict:
         }
 
 
-def _decode_stub(payload: bytes, media_type: str) -> dict:
-    """STUB decode kernel for the VIDEO branch — deterministic fake
-    features (no video container codec ships here; a real deployment
-    replaces this with libav/etc).  Raising path for genuinely
-    unsupported types is kept so callers exercise error handling."""
-    if media_type not in ("image", "audio", "video"):
-        raise NotImplementedError(f"no codec for media_type={media_type!r}")
-    crc = zlib.crc32(payload)
-    return {
-        "width": 16 + crc % 1024,
-        "height": 16 + (crc >> 10) % 1024,
-        "n_frames": 1 if media_type == "image" else 1 + (crc >> 20) % 300,
-    }
+# bytes per frame for the Y4M colorspaces this decoder supports;
+# geometry per the mjpegtools yuv4mpeg(5) spec
+_Y4M_PLANES = {
+    "C420": lambda w, h: w * h + 2 * ((w // 2) * (h // 2)),
+    "C420jpeg": lambda w, h: w * h + 2 * ((w // 2) * (h // 2)),
+    "C420mpeg2": lambda w, h: w * h + 2 * ((w // 2) * (h // 2)),
+    "C420paldv": lambda w, h: w * h + 2 * ((w // 2) * (h // 2)),
+    "C422": lambda w, h: w * h + 2 * ((w // 2) * h),
+    "C444": lambda w, h: 3 * w * h,
+    "Cmono": lambda w, h: w * h,
+}
+
+
+def _decode_y4m(payload: bytes) -> dict:
+    """REAL YUV4MPEG2 parse per the yuv4mpeg(5) spec: space-separated
+    tagged header parameters (W/H mandatory, C colorspace defaulting to
+    C420), then FRAME-marked uncompressed planes — each frame's size
+    validated against the declared colorspace geometry.  Counts frames
+    by walking the stream, not by trusting any declared length (Y4M has
+    none — it is a pipe format)."""
+    nl = payload.find(b"\n")
+    if not payload.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = 0
+    cspace = "C420"
+    for tag in payload[9:nl].split(b" "):
+        if not tag:
+            continue
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            cspace = tag.decode()
+    if w <= 0 or h <= 0:
+        raise ValueError(f"Y4M missing W/H ({w}x{h})")
+    if cspace not in _Y4M_PLANES:
+        raise NotImplementedError(f"Y4M colorspace {cspace!r} unsupported")
+    frame_bytes = _Y4M_PLANES[cspace](w, h)
+    pos, n_frames = nl + 1, 0
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        pos = fnl + 1 + frame_bytes
+        if pos > len(payload):
+            raise ValueError("truncated Y4M frame")
+        n_frames += 1
+    return {"width": w, "height": h, "n_frames": max(1, n_frames)}
 
 
 def _decode(payload: bytes, media_type: str) -> dict:
-    """Route by container magic: real decoders for PGM/WAV, stub for
-    video and for payloads that don't carry a known container."""
+    """Route by container magic: PGM / WAV / Y4M are decoded for real;
+    anything else (compressed codecs need libav) raises
+    ``NotImplementedError`` so callers exercise the error path."""
     if media_type == "image" and payload.startswith(b"P5"):
         return _decode_pgm(payload)
     if media_type == "audio" and payload[:4] == b"RIFF":
         return _decode_wav(payload)
-    return _decode_stub(payload, media_type)
+    if media_type == "video" and payload.startswith(b"YUV4MPEG2"):
+        return _decode_y4m(payload)
+    raise NotImplementedError(
+        f"no codec for media_type={media_type!r} with magic {payload[:9]!r}"
+    )
 
 
 class MediaDecodeStage:

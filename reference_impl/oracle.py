@@ -17,7 +17,6 @@ row/schema/value equality.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -289,11 +288,11 @@ def oracle_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
 
 
 def oracle_multimodal_meta(sf_dir: str) -> pd.DataFrame:
-    """Synth media -> decode (real PGM/WAV containers; video stub) ->
-    every-30th frame sample.  Scalar replication of the engine's
-    deterministic synthesis: image n_frames = 1; audio n_frames =
-    decoded WAV sample count = 64 + len(text) %% 256; video = crc
-    formula of the stub."""
+    """Synth media -> decode (real PGM/WAV/Y4M containers) -> every-30th
+    frame sample.  Scalar replication of the engine's deterministic
+    synthesis: image n_frames = 1; audio n_frames = decoded WAV sample
+    count = 64 + len(text) %% 256; video n_frames = Y4M FRAME count =
+    8 + len(text) %% 64."""
     df = _docs(sf_dir)
     kinds = ["image", "audio", "video"]
     out = []
@@ -305,8 +304,7 @@ def oracle_multimodal_meta(sf_dir: str) -> pd.DataFrame:
         elif media_type == "audio":
             n_frames = 64 + len(payload) % 256
         else:
-            crc = zlib.crc32(payload)
-            n_frames = 1 + (crc >> 20) % 300
+            n_frames = 8 + len(payload) % 64
         for k in range(max(1, -(-n_frames // 30))):
             out.append((str(int(row["doc_id"])), k * 30))
     return pd.DataFrame(out, columns=["media_id", "frame_idx"])

@@ -158,7 +158,7 @@ def media_pipeline_df():
     )
 
 
-def test_decode_stub_rejects_unknown_type():
+def test_decode_rejects_unknown_type():
     stage = MediaDecodeStage()
     bad = pa.table(
         {
@@ -170,6 +170,69 @@ def test_decode_stub_rejects_unknown_type():
     )
     with pytest.raises(NotImplementedError):
         stage(bad)
+
+
+def test_y4m_container_roundtrip():
+    """Synthesized Y4M streams decode back to their construction
+    parameters — the container round-trip for the video branch."""
+    from dataflowkit_ray.stages.multimodal import _decode_y4m, _y4m_payload
+
+    for text, w, h, nf in [(b"hello world", 32, 24, 7), (b"", 16, 16, 1), (b"x" * 500, 38, 30, 71)]:
+        got = _decode_y4m(_y4m_payload(text, w, h, nf))
+        assert got == {"width": w, "height": h, "n_frames": nf}
+
+
+def test_y4m_parses_foreign_streams_and_rejects_bad_ones():
+    """The parser handles spec features our synthesizer never emits
+    (C444/Cmono colorspaces, extra header tags, FRAME parameters) and
+    rejects malformed streams — i.e. it is a real Y4M reader, not a
+    replay of our own writer."""
+    from dataflowkit_ray.stages.multimodal import _decode_y4m
+
+    c444 = b"YUV4MPEG2 W4 H2 F30000:1001 It A128:117 C444 XYSCSS=444\n" + (
+        b"FRAME Xmeta\n" + b"\x01" * 24
+    ) * 3
+    assert _decode_y4m(c444) == {"width": 4, "height": 2, "n_frames": 3}
+
+    mono = b"YUV4MPEG2 W6 H4 Cmono\n" + (b"FRAME\n" + b"\x00" * 24) * 2
+    assert _decode_y4m(mono) == {"width": 6, "height": 4, "n_frames": 2}
+
+    # default colorspace is C420 when no C tag is present
+    c420 = b"YUV4MPEG2 W4 H4\n" + b"FRAME\n" + b"\x00" * 24
+    assert _decode_y4m(c420) == {"width": 4, "height": 4, "n_frames": 1}
+
+    with pytest.raises(ValueError):  # truncated frame payload
+        _decode_y4m(b"YUV4MPEG2 W4 H4\nFRAME\n" + b"\x00" * 10)
+    with pytest.raises(ValueError):  # garbage between frames
+        _decode_y4m(b"YUV4MPEG2 W4 H4\nJUNK!\n" + b"\x00" * 24)
+    with pytest.raises(ValueError):  # missing dimensions
+        _decode_y4m(b"YUV4MPEG2 C420\nFRAME\n")
+    with pytest.raises(NotImplementedError):  # known-unknown colorspace
+        _decode_y4m(b"YUV4MPEG2 W4 H4 C411\nFRAME\n" + b"\x00" * 24)
+
+
+def test_video_rows_carry_decoded_geometry(ray_session):
+    """Decoded video metadata equals the Y4M header/stream contents:
+    width/height from the synthesis formula, n_frames from counting
+    FRAME markers."""
+    import ray.data
+
+    from dataflowkit_ray.stages.multimodal import synthesize_media
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    meta = (
+        ds.map_batches(synthesize_media, batch_format="pyarrow")
+        .map_batches(MediaDecodeStage, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+        .to_pandas()
+    )
+    vids = meta[meta.media_type == "video"]
+    assert len(vids) > 0
+    docs = _docs_df().set_index(_docs_df().doc_id.astype(str))
+    for _, r in vids.iterrows():
+        n = len(docs.loc[r.media_id, "text"].encode())
+        assert r.width == 16 + 2 * (n % 12)
+        assert r.height == 16 + 2 * ((n // 3) % 8)
+        assert r.n_frames == 8 + n % 64
 
 
 def test_ivf_topk_exact_at_full_probe_and_recall_at_partial(ray_session):
