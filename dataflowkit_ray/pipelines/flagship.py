@@ -43,6 +43,7 @@ import numpy as np
 import pyarrow as pa
 
 from dataflowkit_ray.config import DEFAULT_CONFIG, EngineConfig
+from dataflowkit_ray.stages.agg import checked_rename
 from dataflowkit_ray.stages.cep import Pattern, Step, match_pattern_batch
 from dataflowkit_ray.stages.join import explode_chunks, join_details
 from dataflowkit_ray.stages.windows import assign_tumbling
@@ -161,14 +162,22 @@ def flagship_pipeline(
         g = b.select(["src_id", "window_id", "n_tok"]).group_by(
             ["src_id", "window_id"]
         ).aggregate([("n_tok", "sum"), ("n_tok", "count")])
-        g = g.rename_columns(["src_id", "window_id", "s", "c"])
+        g = checked_rename(
+            g,
+            ["src_id", "window_id", "n_tok_sum", "n_tok_count"],
+            ["src_id", "window_id", "s", "c"],
+        )
         win = _conform(g, {"sum_n_tok": "s", "n_rows": "c"}, key_col="src_id")
 
         m = assign_tumbling(matcher(b), wsize)
         gm = m.select(["src_id", "window_id"]).group_by(
             ["src_id", "window_id"]
         ).aggregate([([], "count_all")])
-        gm = gm.rename_columns(["src_id", "window_id", "m"])
+        gm = checked_rename(
+            gm,
+            ["src_id", "window_id", "count_all"],
+            ["src_id", "window_id", "m"],
+        )
         cep = _conform(gm, {"n_matches": "m"}, key_col="src_id")
 
         # co-partitioned details join: a real Acero hash join on
@@ -180,14 +189,22 @@ def flagship_pipeline(
         gd = joined.select(["src_id", "window_id", "n_details"]).group_by(
             ["src_id", "window_id"]
         ).aggregate([("n_details", "sum")])
-        gd = gd.rename_columns(["src_id", "window_id", "d"])
+        gd = checked_rename(
+            gd,
+            ["src_id", "window_id", "n_details_sum"],
+            ["src_id", "window_id", "d"],
+        )
         det = _conform(gd, {"n_details": "d"}, key_col="src_id")
 
         merged = pa.concat_tables([win, cep, det])
         out = merged.group_by(["src_id", "window_id"]).aggregate(
             [(mname, "sum") for mname in _METRICS]
         )
-        return out.rename_columns(["src_id", "window_id", *_METRICS])
+        return checked_rename(
+            out,
+            ["src_id", "window_id", *(f"{m}_sum" for m in _METRICS)],
+            ["src_id", "window_id", *_METRICS],
+        )
 
     partials = ds.map_batches(all_partials, batch_format="pyarrow")
 

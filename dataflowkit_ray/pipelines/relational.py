@@ -37,13 +37,29 @@ _Q1_CUTOFF = "1998-09-02"
 _Q3_DATE = "1998-01-01"
 _Q3_SEGMENT = "BUILDING"
 
+# Per-row bound on disc_price_c = price_c * (10000 - discount_bp):
+# TPC-H caps l_extendedprice near $110k -> price_c < 1.1e7 cents, times
+# 10^4 bp -> 1.1e11 per row.  int64 holds ~9.2e18, so per-GROUP sums are
+# safe below ~8e7 rows/group; the finalize step enforces this.
+_DISC_PRICE_C_MAX = 11_000_000 * 10_000
+
 
 def _read(sf_dir: str, table: str, columns: list[str]):
+    """Pruned read with a metadata-stripped schema: the warehouse
+    parquet files carry pandas field metadata whose dict payload defeats
+    Ray's schema hashing (every read task then logs "Failed to hash the
+    schemas (for deduplication)" and block-schema dedup is skipped);
+    passing the bare projected schema restores it."""
+    import pyarrow.parquet as pq
     import ray.data
 
     path = f"{sf_dir}/{table}.parquet"
+    sch = pq.read_schema(path).remove_metadata()
     return ray.data.read_parquet(
-        path, columns=columns, override_num_blocks=blocks_for(path)
+        path,
+        columns=columns,
+        schema=pa.schema([sch.field(c) for c in columns]),
+        override_num_blocks=blocks_for(path),
     )
 
 
@@ -114,6 +130,18 @@ def q_lineitem_agg(sf_dir: str):
         sp = t["sum_price_c"].to_numpy(zero_copy_only=False).astype(np.float64)
         sd = t["sum_disc_price_c"].to_numpy(zero_copy_only=False).astype(np.float64)
         n = t["count_order"].to_numpy(zero_copy_only=False)
+        # int64-overflow guard: disc_price_c addends are bounded by
+        # _DISC_PRICE_C_MAX, so a group of n rows can only exceed int64
+        # when n * bound >= 2^63 (~8e7 rows/group, ~sf90 for Q1's six
+        # groups).  A distributed int64 sum wraps SILENTLY there while
+        # the DuckDB oracle promotes to HUGEINT — refuse loudly instead
+        # of diverging quietly.
+        if (n.astype(np.float64) * _DISC_PRICE_C_MAX >= 2.0**63).any():
+            raise OverflowError(
+                "lineitem_agg: group row count puts the fixed-point "
+                "disc_price sum at int64 overflow risk; re-scale the "
+                "fixed-point constants or sum in two int64 levels"
+            )
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],

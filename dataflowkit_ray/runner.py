@@ -42,6 +42,7 @@ from dataflowkit_ray.checkpoint import CheckpointStore
 from dataflowkit_ray.config import DEFAULT_CONFIG, EngineConfig
 from dataflowkit_ray.pipelines.flagship import _METRICS, default_pattern
 from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+from dataflowkit_ray.stages.agg import checked_rename
 from dataflowkit_ray.sources.microbatch import MicroBatchSource
 from dataflowkit_ray.state.store import (
     ShardedState,
@@ -112,7 +113,11 @@ def epoch_partials_fn(
         g = b.select(["source", "window_id", "n_tok"]).group_by(
             ["source", "window_id"]
         ).aggregate([("n_tok", "sum"), ("n_tok", "count")])
-        g = g.rename_columns(["source", "window_id", "s", "c"])
+        g = checked_rename(
+            g,
+            ["source", "window_id", "n_tok_sum", "n_tok_count"],
+            ["source", "window_id", "s", "c"],
+        )
         win = _conform(g, {"sum_n_tok": "s", "n_rows": "c"})
 
         # details: chunks of a doc are batch-local -> n_details = ceil(n_tok/16)
@@ -129,7 +134,9 @@ def epoch_partials_fn(
                 "nd": pa.array(nd),
             }
         ).group_by(["source", "window_id"]).aggregate([("nd", "sum")])
-        dt = dt.rename_columns(["source", "window_id", "d"])
+        dt = checked_rename(
+            dt, ["source", "window_id", "nd_sum"], ["source", "window_id", "d"]
+        )
         det = _conform(dt, {"n_details": "d"})
 
         # matcher runs on UNexpanded rows (else sliding would duplicate
@@ -138,7 +145,9 @@ def epoch_partials_fn(
         gm = m.select(["source", "window_id"]).group_by(
             ["source", "window_id"]
         ).aggregate([([], "count_all")])
-        gm = gm.rename_columns(["source", "window_id", "m"])
+        gm = checked_rename(
+            gm, ["source", "window_id", "count_all"], ["source", "window_id", "m"]
+        )
         mat = _conform(gm, {"n_matches": "m"})
 
         return pa.concat_tables([win, det, mat])

@@ -38,6 +38,29 @@ def composite_bucket(t: pa.Table, key_list: list[str], n_buckets: int) -> np.nda
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
+def checked_rename(g: pa.Table, expected: list[str], new_names: list[str]) -> pa.Table:
+    """``rename_columns`` with the positional assumption made EXPLICIT.
+
+    ``group_by().aggregate()`` output order (keys first, then
+    ``<col>_<fn>`` / ``count_all``) has differed across pyarrow
+    versions; every positional rename of an aggregate result goes
+    through here so a reordering pyarrow bump fails LOUDLY instead of
+    silently mislabeling metric columns (ADVICE r3)."""
+    if g.column_names != expected:
+        raise AssertionError(
+            f"aggregate output columns {g.column_names} != expected {expected}; "
+            "pyarrow group_by output order changed"
+        )
+    return g.rename_columns(new_names)
+
+
+def agg_names(key_list: list[str], aggs: list[tuple]) -> list[str]:
+    """The generated column names of ``group_by(key_list).aggregate(aggs)``
+    on the pinned pyarrow: keys first, then ``<col>_<fn>`` (``count_all``
+    for the nullary count)."""
+    return key_list + [f"{c}_{fn}" if c != [] else "count_all" for c, fn in aggs]
+
+
 def hash_agg(
     ds,
     keys: tuple[str, ...],
@@ -81,10 +104,9 @@ def hash_agg(
 
     def phase1(t: pa.Table) -> pa.Table:
         used = key_list + sorted({c for c, _, _ in specs})
-        g = t.select(used).group_by(key_list).aggregate(
-            [(c, fn) for c, fn, _ in specs]
-        )
-        g = g.rename_columns(key_list + partial_names)
+        aggs = [(c, fn) for c, fn, _ in specs]
+        g = t.select(used).group_by(key_list).aggregate(aggs)
+        g = checked_rename(g, agg_names(key_list, aggs), key_list + partial_names)
         return g.append_column(
             "_bucket", pa.array(composite_bucket(g, key_list, n_buckets))
         )
@@ -102,7 +124,7 @@ def hash_agg(
 
     def phase2(t: pa.Table) -> pa.Table:
         g = t.drop_columns(["_bucket"]).group_by(key_list).aggregate(merge_aggs)
-        g = g.rename_columns(key_list + out_names)
+        g = checked_rename(g, agg_names(key_list, merge_aggs), key_list + out_names)
         for out, ps, pc_ in mean_final:
             s = g[ps].to_numpy(zero_copy_only=False).astype(np.float64)
             c = g[pc_].to_numpy(zero_copy_only=False).astype(np.float64)

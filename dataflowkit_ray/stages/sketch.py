@@ -36,6 +36,20 @@ def _group_id64(keys_tbl: pa.Table, key_list: list[str]) -> np.ndarray:
     return h
 
 
+def _offsets32(offsets: np.ndarray) -> pa.Array:
+    """int64 fold offsets -> int32 ListArray offsets, with the implicit
+    2^31 bound made EXPLICIT: a merge bucket whose flattened kept-hash
+    count exceeds int32 would otherwise wrap silently and corrupt every
+    list boundary (ADVICE r3).  k-bounded sketches keep real buckets far
+    below this; the check is one comparison."""
+    if len(offsets) and int(offsets[-1]) > np.iinfo(np.int32).max:
+        raise OverflowError(
+            f"sketch list offsets exceed int32 ({int(offsets[-1])} values in "
+            "one merge bucket); raise n_buckets or switch to large_list"
+        )
+    return pa.array(offsets.astype(np.int32), pa.int32())
+
+
 def _kmv_rows(
     keys_tbl: pa.Table, key_list: list[str], hashes: np.ndarray, k: int
 ) -> pa.Table:
@@ -52,8 +66,7 @@ def _kmv_rows(
         {
             **{c: rep[c] for c in key_list},
             "minhashes": pa.ListArray.from_arrays(
-                pa.array(offsets.astype(np.int32), pa.int32()),
-                pa.array(h_kept, pa.uint64()),
+                _offsets32(offsets), pa.array(h_kept, pa.uint64())
             ),
         }
     )
@@ -290,12 +303,10 @@ def quantile_sketch(
             {
                 **{c: rep[c] for c in key_list},
                 "qs_h": pa.ListArray.from_arrays(
-                    pa.array(offsets.astype(np.int32), pa.int32()),
-                    pa.array(h_kept, pa.uint64()),
+                    _offsets32(offsets), pa.array(h_kept, pa.uint64())
                 ),
                 "qs_v": pa.ListArray.from_arrays(
-                    pa.array(offsets.astype(np.int32), pa.int32()),
-                    pa.array(v_kept, pa.float64()),
+                    _offsets32(offsets), pa.array(v_kept, pa.float64())
                 ),
             }
         )

@@ -165,7 +165,13 @@ def partial_window_agg(keys: tuple[str, ...] = ("source", "window_id")):
     def fn(batch: pa.Table) -> pa.Table:
         t = batch.select(key_list + ["n_tok"])
         agg = t.group_by(key_list).aggregate([("n_tok", "sum"), ("n_tok", "count")])
-        return agg.rename_columns(key_list + ["n_tok_sum", "rows"])
+        from dataflowkit_ray.stages.agg import checked_rename
+
+        return checked_rename(
+            agg,
+            key_list + ["n_tok_sum", "n_tok_count"],
+            key_list + ["n_tok_sum", "rows"],
+        )
 
     return fn
 
@@ -240,7 +246,13 @@ def salted_distinct_docs(
 
     def count_bucket(t: pa.Table) -> pa.Table:
         g = t.group_by(key_list + ["salt"]).aggregate([("doc_h", "count_distinct")])
-        g = g.rename_columns(key_list + ["salt", "part_distinct"])
+        from dataflowkit_ray.stages.agg import checked_rename
+
+        g = checked_rename(
+            g,
+            key_list + ["salt", "doc_h_count_distinct"],
+            key_list + ["salt", "part_distinct"],
+        )
         return g.drop_columns(["salt"])
 
     per_salt = (
