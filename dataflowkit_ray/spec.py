@@ -124,6 +124,45 @@ class AsofSpec:
 
 
 @dataclass
+class RelationalSpec:
+    """Warehouse-analytics branch: the TPC-H-analog pipelines compiled
+    from JSON.  ``source.paths[0]`` is the warehouse directory (tables
+    ``lineitem``/``orders``/``customer`` resolved inside); the spec
+    dispatches to the SAME pipeline builders the query registry uses, so
+    a spec run is bit-identical to the direct call."""
+
+    kind: str = "pricing_summary"  # pricing_summary | top_orders
+
+
+@dataclass
+class AnnSpec:
+    """Similarity-search branch over an embeddings table
+    (``source.paths[0]``): brute-force cosine top-k (broadcast query
+    matrix) or the IVF scale path.  ``query_ids`` select the query rows
+    by id from the same table (row-filtered read — only those rows touch
+    the driver)."""
+
+    query_ids: list[int]
+    kind: str = "brute"  # brute | ivf
+    k: int = 5
+    n_centroids: int = 16
+    n_probe: int | None = None  # ivf only; None = n_centroids (exact)
+
+
+@dataclass
+class QuantilesSpec:
+    """Grouped-quantiles terminal stage: exact per-group order stats or
+    the mergeable bottom-k-by-hash sketch (bounded shuffle state)."""
+
+    keys: list[str]
+    value_col: str
+    quantiles: list[float] = field(default_factory=lambda: [0.5, 0.9])
+    method: str = "exact"  # exact | sketch
+    k: int = 4096  # sketch sample budget per group
+    id_col: str = "event_seq"  # sketch sample key (deterministic hash basis)
+
+
+@dataclass
 class SinkSpec:
     path: str
     format: str = "parquet"  # parquet | csv | json | jsonl | xml | xlsx
@@ -171,6 +210,9 @@ class PipelineSpec:
     policy: PolicySpec | None = None
     throttle: ThrottleSpec | None = None
     asof: AsofSpec | None = None
+    relational: RelationalSpec | None = None
+    ann: AnnSpec | None = None
+    quantiles: QuantilesSpec | None = None
     sink: SinkSpec | None = None
     streaming: StreamingSpec | None = None
 
@@ -208,6 +250,13 @@ class PipelineSpec:
             asof=AsofSpec(**d["asof"]) if d.get("asof") else None,
             policy=PolicySpec(**d["policy"]) if d.get("policy") else None,
             throttle=ThrottleSpec(**d["throttle"]) if d.get("throttle") else None,
+            relational=(
+                RelationalSpec(**d["relational"]) if d.get("relational") else None
+            ),
+            ann=AnnSpec(**d["ann"]) if d.get("ann") else None,
+            quantiles=(
+                QuantilesSpec(**d["quantiles"]) if d.get("quantiles") else None
+            ),
             sink=SinkSpec(**d["sink"]) if d.get("sink") else None,
             streaming=(
                 StreamingSpec(**d["streaming"]) if d.get("streaming") else None
@@ -279,6 +328,62 @@ def validate_spec(spec: PipelineSpec) -> None:
             raise SpecError("asof needs >= 1 right path")
         if spec.asof.left_on == spec.asof.right_on:
             raise SpecError("asof left_on/right_on must be distinct column names")
+    _terminal = {
+        "relational": spec.relational,
+        "ann": spec.ann,
+        "quantiles": spec.quantiles,
+        "dedup": spec.dedup,
+    }
+    _set = [n for n, v in _terminal.items() if v]
+    if len(_set) > 1:
+        raise SpecError(f"branches {_set} are mutually exclusive terminal stages")
+    if spec.relational:
+        if spec.relational.kind not in ("pricing_summary", "top_orders"):
+            raise SpecError(f"unknown relational kind {spec.relational.kind!r}")
+        if len(spec.source.paths) != 1:
+            raise SpecError("relational source is ONE warehouse directory path")
+        if spec.source.tokenize:
+            raise SpecError("relational reads warehouse tables: set source.tokenize=false")
+        if (
+            spec.filters or spec.window or spec.aggregates or spec.pattern
+            or spec.join or spec.asof or (spec.policy and spec.policy.enabled)
+            or spec.throttle
+        ):
+            raise SpecError("relational is a self-contained branch: no other stages")
+    if spec.ann:
+        a = spec.ann
+        if a.kind not in ("brute", "ivf"):
+            raise SpecError(f"unknown ann kind {a.kind!r}")
+        if not a.query_ids:
+            raise SpecError("ann needs >= 1 query id")
+        if a.k <= 0:
+            raise SpecError("ann k must be > 0")
+        if a.kind == "ivf" and a.n_centroids <= 0:
+            raise SpecError("ivf needs n_centroids > 0")
+        if a.kind == "ivf" and a.n_probe is not None and a.n_probe <= 0:
+            raise SpecError("ivf n_probe must be > 0 (or None for exact)")
+        if len(spec.source.paths) != 1:
+            raise SpecError("ann source is ONE embeddings table path")
+        if spec.source.tokenize:
+            raise SpecError("ann reads an embeddings table: set source.tokenize=false")
+        if (
+            spec.filters or spec.window or spec.aggregates or spec.pattern
+            or spec.join or spec.asof or (spec.policy and spec.policy.enabled)
+            or spec.throttle
+        ):
+            raise SpecError("ann is a self-contained branch: no other stages")
+    if spec.quantiles:
+        q = spec.quantiles
+        if q.method not in ("exact", "sketch"):
+            raise SpecError(f"unknown quantiles method {q.method!r}")
+        if not q.keys:
+            raise SpecError("quantiles needs >= 1 key column")
+        if not q.quantiles or not all(0.0 < x < 1.0 for x in q.quantiles):
+            raise SpecError("quantiles must all lie in (0, 1)")
+        if q.method == "sketch" and q.k <= 0:
+            raise SpecError("quantile sketch k must be > 0")
+        if spec.window or spec.aggregates or spec.pattern or spec.join:
+            raise SpecError("quantiles is a terminal stage: no window/aggregates/pattern/join")
     if spec.sink and spec.sink.format not in _SINK_FORMATS:
         raise SpecError(
             f"unsupported sink format {spec.sink.format!r}; one of {_SINK_FORMATS}"
@@ -299,7 +404,7 @@ def validate_spec(spec: PipelineSpec) -> None:
             raise SpecError(
                 "streaming writes its own exactly-once sink under work_dir; omit sink"
             )
-        if spec.dedup or spec.asof or spec.join:
+        if spec.dedup or spec.asof or spec.join or spec.relational or spec.ann or spec.quantiles:
             raise SpecError("streaming covers window/pattern stages only")
         if (
             spec.filters
@@ -342,6 +447,41 @@ def build_pipeline(spec: PipelineSpec):
     validate_spec(spec)
 
     src = spec.source
+
+    if spec.relational:
+        # dispatch to the SAME builders the query registry exposes — a
+        # spec run is the direct call (no parallel implementation to
+        # drift)
+        from dataflowkit_ray.pipelines.relational import RELATIONAL_QUERIES
+
+        qname = {
+            "pricing_summary": "lineitem_agg",
+            "top_orders": "top_orders",
+        }[spec.relational.kind]
+        return RELATIONAL_QUERIES[qname](src.paths[0])
+
+    if spec.ann:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from dataflowkit_ray.stages.ann import brute_topk, ivf_centroids, ivf_topk
+        from dataflowkit_ray.tokenize import blocks_for
+
+        a = spec.ann
+        path = src.paths[0]
+        qt = pq.read_table(path, filters=[("vec_id", "in", list(a.query_ids))])
+        qv = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+        qi = np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64)
+        emb = ray.data.read_parquet(path, override_num_blocks=blocks_for(path))
+        if a.kind == "brute":
+            return brute_topk(emb, qv, qi, k=a.k)
+        n_rows = pq.read_metadata(path).num_rows
+        cent = ivf_centroids(emb, n_centroids=a.n_centroids, n_rows=n_rows)
+        return ivf_topk(
+            emb, qv, qi, cent, k=a.k,
+            n_probe=a.n_probe if a.n_probe is not None else len(cent),
+        )
+
     if src.format == "parquet":
         ds = ray.data.read_parquet(src.paths, columns=src.columns)
     elif src.format == "csv":
@@ -399,6 +539,19 @@ def build_pipeline(spec: PipelineSpec):
             ds, max_hamming=dd.max_hamming, text_col=dd.text_col, id_col=dd.id_col
         )
 
+
+    if spec.quantiles:
+        from dataflowkit_ray.stages.sketch import grouped_quantiles, quantile_sketch
+
+        q = spec.quantiles
+        if q.method == "exact":
+            return grouped_quantiles(
+                ds, tuple(q.keys), q.value_col, tuple(q.quantiles)
+            )
+        return quantile_sketch(
+            ds, tuple(q.keys), q.value_col, tuple(q.quantiles),
+            k=q.k, id_col=q.id_col,
+        )
 
     if spec.asof:
         from dataflowkit_ray.stages.asof import asof_join

