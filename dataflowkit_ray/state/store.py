@@ -63,6 +63,23 @@ def warm_arrow_kernels() -> None:
 _POOLS: dict = {}
 
 
+def spawn_shard(actor_cls, *args):
+    """Spawn one state shard with ``scheduling_strategy="SPREAD"``.
+
+    Shard actors hold the engine's keyed state and receive every chunk
+    task's Arrow partials: packed onto one node (Ray's default bin-
+    packing) they would serialize on that node's NIC/object store at
+    cluster scale.  SPREAD places the pool across nodes best-effort —
+    a no-op on one node, load-balancing on many (asserted against a
+    simulated two-node cluster in tests/test_placement.py).
+
+    Broadcast note: ``ray.put`` objects referenced by spread actors are
+    fetched once per NODE into that node's object store and shared by
+    every actor/task there — spreading shards does not multiply
+    broadcast traffic."""
+    return actor_cls.options(scheduling_strategy="SPREAD").remote(*args)
+
+
 def shard_pool(actor_cls, name: str, n: int, *args) -> list:
     """Session-scoped REUSABLE shard-actor pool.
 
@@ -84,7 +101,7 @@ def shard_pool(actor_cls, name: str, n: int, *args) -> list:
             return pool
         except Exception:
             pass  # dead pool (new ray session) -> respawn below
-    pool = [actor_cls.remote(*args) for _ in range(n)]
+    pool = [spawn_shard(actor_cls, *args) for _ in range(n)]
     _POOLS[key] = pool
     return pool
 
@@ -151,6 +168,10 @@ class WindowStateShard:
     def reset(self, *args) -> None:
         """Re-initialize for pool reuse (see :func:`shard_pool`)."""
         self.__init__(*args)
+
+    def where(self) -> str:
+        """Node id hosting this shard (placement diagnostics/tests)."""
+        return ray.get_runtime_context().get_node_id()
 
     def stage(self, epoch: int, chunk_key, blob: bytes) -> None:
         """Idempotent (epoch, chunk)-keyed staging — the data-plane entry
@@ -538,7 +559,7 @@ class ShardedState:
         if pool is not None:
             self.shards = shard_pool(actor_cls, pool, n_shards, *args)
         else:
-            self.shards = [actor_cls.remote(*args) for _ in range(n_shards)]
+            self.shards = [spawn_shard(actor_cls, *args) for _ in range(n_shards)]
 
     def shard_of_table(self, t: pa.Table, key_cols: list[str]) -> np.ndarray:
         from dataflowkit_ray.stages.agg import composite_bucket
