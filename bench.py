@@ -103,11 +103,12 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         "streaming_windowed",
         "streaming_sessions",
     ):
-        # min of two runs per query: the box shows transient multi-second
-        # stalls (see _scaling_child) and a single sample can double a
-        # sub-second query's reading
+        # min of three runs per query: the box shows transient
+        # multi-second stalls (see _scaling_child) that can hit two
+        # consecutive runs; a single sample can double a sub-second
+        # query's reading
         els = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             rows[name] = _consume(QUERIES[name](sf_dir))
             els.append(time.perf_counter() - t0)
@@ -116,11 +117,12 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     # minhash at 10x volume (50k docs at sf0.1): per-doc throughput must
     # hold as volume grows — the bucket-join verify path has no driver
     # bottleneck to saturate (VERDICT r1 item 1 done-criterion)
-    t0 = time.perf_counter()
-    rows["minhash_x10"] = _consume(
-        _minhash_volume(sf_dir, repeat=10)
-    )
-    times["minhash_x10"] = time.perf_counter() - t0
+    els = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rows["minhash_x10"] = _consume(_minhash_volume(sf_dir, repeat=10))
+        els.append(time.perf_counter() - t0)
+    times["minhash_x10"] = min(els)
     return times, rows
 
 
