@@ -17,7 +17,12 @@ from dataflowkit_ray.stages.ann import (
     ivf_topk,
     lsh_dup_pairs,
 )
-from dataflowkit_ray.stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+from dataflowkit_ray.stages.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from dataflowkit_ray.stages.multimodal import media_pipeline
 from dataflowkit_ray.stages.textstats import TEXT_STATS_SQL, doc_fingerprints, text_stats
 
@@ -63,6 +68,14 @@ def q_minhash_dup_pairs(sf_dir: str):
     0.8 threshold) — the oracle's exact all-pairs join agrees on any
     non-adversarial corpus; precision is exact by verification."""
     return minhash_lsh_pairs(_docs(sf_dir), threshold=0.8, k=64, bands=32)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram-Jaccard pairs at t=0.5 via prefix filtering — recall
+    1.0 where minhash banding is probabilistic (P[candidate | J=0.5]
+    ~ 0.64); the oracle is the same exact all-pairs join at the lower
+    threshold."""
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -214,6 +227,7 @@ def q_multimodal_meta(sf_dir: str):
 TRAINING_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_dup_pairs": q_minhash_dup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -254,6 +268,15 @@ TRAINING_ORACLES = {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH {_SHINGLES_CTE}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.5
     """,
     "ann_topk": """
         WITH q AS (

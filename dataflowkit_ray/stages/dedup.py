@@ -723,3 +723,132 @@ def simhash_pairs(
     return hash_agg(
         pairs, ("doc_a", "doc_b"), [("hamming", "min", "hamming")], n_buckets=16
     )
+
+
+def ngram_jaccard_pairs(
+    ds,
+    threshold: float = 0.5,
+    w: int = 3,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_group_size: int = 512,
+):
+    """EXACT n-gram-Jaccard near-dup pairs via prefix filtering.
+
+    The exact-recall complement to :func:`minhash_lsh_pairs`: banding is
+    probabilistic (P[candidate | J=0.5] ~ 0.64 at k=64/16 bands), so for
+    thresholds below ~0.7 an exact index is the honest tool.  Naive
+    exact = all-pairs; the classic fix is the PREFIX FILTER (Bayardo,
+    Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW'07):
+    under ANY fixed global order of the shingle universe, two sets with
+    J(a, b) >= t must share an element within the first
+    ``|d| - ceil(t*|d|) + 1`` elements of each (else the overlap
+    o >= t*|d| cannot fit in the remaining suffix).  Our per-row shingle
+    lists are already sorted by 64-bit hash — a fixed global order — so
+    indexing only that prefix keeps recall 1.0 while shipping just
+    ~(1-t) of the shingle stream into the candidate shuffle.
+
+    Stages (same bucket shapes as minhash; nothing on the driver):
+      1. map_batches: text -> sorted-unique shingle hashes -> emit
+         (shingle, id) for the length-``|d|-ceil(t|d|)+1`` prefix only;
+      2. shuffle on hash(shingle) -> within-shingle candidate pairs
+         (:func:`_pairs_from_groups` — the ``max_group_size`` stop-
+         shingle cap applies, drops logged; a shingle shared by >512
+         docs is the set analog of a stop-word);
+      3. verify: :func:`pair_payload_join` against the full shingle
+         stream, exact Jaccard >= t, duplicate candidates (pairs sharing
+         several prefix shingles) deduped inside the per-pair group.
+
+    Output: (doc_a, doc_b, jaccard) — jaccard rounded to 6 dp, the same
+    comparison the DuckDB oracle replays.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    def prefix_stage(t: pa.Table) -> pa.Table:
+        off, vals = shingle_hash_flat(t[text_col], w)
+        n = len(t)
+        lens = np.diff(off)
+        # prefix length |d| - ceil(t*|d|) + 1 (0 for empty rows); ceil
+        # via integer arithmetic to dodge float-boundary surprises
+        tnum = int(round(threshold * 1_000_000))
+        ceil_t = -(-(lens * tnum) // 1_000_000)
+        plen = np.where(lens > 0, lens - ceil_t + 1, 0).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(plen)))
+        P = int(cum[-1])
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        if P == 0:
+            return pa.table(
+                {
+                    "shingle": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                }
+            )
+        row_of = np.repeat(np.arange(n), plen)
+        pos = np.arange(P) - np.repeat(cum[:-1], plen)
+        sh = vals[off[:-1][row_of] + pos]
+        return pa.table(
+            {
+                "shingle": pa.array(sh.view(np.int64)),
+                id_col: pa.array(ids_np[row_of]),
+            }
+        )
+
+    prefixes = ds.map_batches(prefix_stage, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", pa.array(composite_bucket(t, ["shingle"], n_buckets))
+        )
+
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        cand = _pairs_from_groups(
+            t[id_col].to_numpy(zero_copy_only=False),
+            t["shingle"].to_numpy(zero_copy_only=False),
+            max_group_size=max_group_size,
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(cand[:, 0].astype(np.int64)),
+                "doc_b": pa.array(cand[:, 1].astype(np.int64)),
+            }
+        )
+
+    cand = (
+        prefixes.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda t: pairs_bucket(t.drop_columns(["_bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def shingle_stage(t: pa.Table) -> pa.Table:
+        off, vals = shingle_hash_flat(t[text_col], w)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: pc.cast(ids, pa.int64()),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(off.astype(np.int32), type=pa.int32()),
+                    pa.array(vals, type=pa.uint64()),
+                ),
+            }
+        )
+
+    shingle_ds = ds.map_batches(shingle_stage, batch_format="pyarrow")
+    return pair_payload_join(
+        cand,
+        shingle_ds,
+        _jaccard_verify(threshold),
+        id_col=id_col,
+        payload_col="shingles",
+        payload_type=pa.list_(pa.uint64()),
+        n_buckets=n_buckets,
+    )

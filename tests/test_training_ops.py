@@ -17,7 +17,11 @@ from dataflowkit_ray.pipelines.training import (
     q_simhash_pairs,
     q_text_stats,
 )
-from dataflowkit_ray.stages.dedup import shingle_hashes, simhash64
+from dataflowkit_ray.stages.dedup import (
+    ngram_jaccard_pairs,
+    shingle_hashes,
+    simhash64,
+)
 from dataflowkit_ray.stages.multimodal import MediaDecodeStage, media_pipeline
 
 SF = "/root/testdata/sf0.001"
@@ -78,6 +82,46 @@ def test_simhash_recall_is_exact(ray_session):
                 exp.append((df.doc_id[i], df.doc_id[j], d))
     got = q_simhash_pairs(SF).to_pandas()
     assert sorted(zip(got.doc_a, got.doc_b, got.hamming)) == sorted(exp)
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(ray_session):
+    """Prefix filtering (Bayardo et al. WWW'07) is EXACT: at t=0.5 —
+    where 64/32-band minhash misses ~36% of J=0.5 pairs — the engine
+    must return precisely the brute-force all-pairs set, including
+    planted mid-range (J~0.55) variants that banding would drop."""
+    import ray
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    texts, ids = [], []
+    for i in range(30):
+        base = [vocab[x] for x in rng.choice(400, size=24, replace=False)]
+        texts.append(" ".join(base))
+        ids.append(len(ids))
+        if i % 3 == 0:
+            # replace the last 6 words: ~16 of 22 shingles survive,
+            # J ~ 16/28 ~ 0.57 — squarely in the lossy-banding regime
+            tail = [vocab[int(x)] for x in rng.integers(0, 400, size=6)]
+            texts.append(" ".join(base[:18] + tail))
+            ids.append(len(ids))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
+    got = ngram_jaccard_pairs(ds, threshold=0.5, n_buckets=8).to_pandas()
+
+    sh = shingle_hashes(pa.array(texts), 3)
+    exp = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = sh[i], sh[j]
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            jac = inter / union if union else 1.0
+            if jac >= 0.5:
+                exp.append((ids[i], ids[j], round(jac, 6)))
+    assert sorted(zip(got.doc_a, got.doc_b, got.jaccard)) == sorted(exp)
+    mids = [j for _, _, j in exp if j < 0.7]
+    assert len(mids) >= 5  # the mid-J regime is actually exercised
 
 
 def test_ann_topk_matches_numpy(ray_session):
