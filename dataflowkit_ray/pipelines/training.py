@@ -210,6 +210,28 @@ def q_token_counts(sf_dir: str):
     return token_counts(_docs(sf_dir))
 
 
+def q_resumable_tokens(sf_dir: str):
+    """Token counting pushed through the RESUMABLE shard sink: one task
+    per input row-group writes an atomic part + done-marker, the result
+    is read back from committed parts only.  Oracle = the plain
+    token-count SQL — proving the sink round-trip is lossless.  (The
+    resume/skip semantics themselves are pytest-gated in
+    tests/test_resumable.py.)"""
+    import tempfile
+
+    from dataflowkit_ray.sinks.resumable import read_committed, resumable_shard_map
+    from dataflowkit_ray.stages.textstats import token_count_batch
+
+    out = tempfile.mkdtemp(prefix="resumable_tokens_", dir="/tmp")
+    resumable_shard_map(
+        f"{sf_dir}/documents.parquet",
+        out,
+        token_count_batch,
+        columns=["doc_id", "text"],
+    )
+    return read_committed(out)
+
+
 def q_quality_filter(sf_dir: str):
     """Gopher-style repetition/format gates per document (dup-word
     fraction, mean word length, keep flag)."""
@@ -237,6 +259,7 @@ TRAINING_QUERIES = {
     "pii_redact": q_pii_redact,
     "quality_filter": q_quality_filter,
     "token_counts": q_token_counts,
+    "resumable_tokens": q_resumable_tokens,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
 }
@@ -331,6 +354,9 @@ TRAINING_ORACLES["quality_filter"] = REPETITION_SQL
 from dataflowkit_ray.stages.textstats import TOKEN_COUNT_SQL
 
 TRAINING_ORACLES["token_counts"] = TOKEN_COUNT_SQL
+# same SQL: the resumable sink must be a lossless round-trip of the
+# identical transform
+TRAINING_ORACLES["resumable_tokens"] = TOKEN_COUNT_SQL
 
 from dataflowkit_ray.pipelines import sqlgen as _sg
 from dataflowkit_ray.tokenize import TOKEN_SQL_EXPR as _TOKEN_SQL_EXPR
