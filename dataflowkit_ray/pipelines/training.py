@@ -210,6 +210,16 @@ def q_token_counts(sf_dir: str):
     return token_counts(_docs(sf_dir))
 
 
+def q_lang_id(sf_dir: str):
+    """Character-trigram language ID (Cavnar-Trenkle profiles, integer
+    rank weights): vectorized overlapping byte-scan per profile trigram,
+    argmax across broadcast per-language weight columns; the DuckDB
+    oracle replays the identical profile via an inline VALUES join."""
+    from dataflowkit_ray.stages.textstats import lang_id
+
+    return lang_id(_docs(sf_dir))
+
+
 def q_resumable_tokens(sf_dir: str):
     """Token counting pushed through the RESUMABLE shard sink: one task
     per input row-group writes an atomic part + done-marker, the result
@@ -259,6 +269,7 @@ TRAINING_QUERIES = {
     "pii_redact": q_pii_redact,
     "quality_filter": q_quality_filter,
     "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
     "resumable_tokens": q_resumable_tokens,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
@@ -354,6 +365,9 @@ TRAINING_ORACLES["quality_filter"] = REPETITION_SQL
 from dataflowkit_ray.stages.textstats import TOKEN_COUNT_SQL
 
 TRAINING_ORACLES["token_counts"] = TOKEN_COUNT_SQL
+from dataflowkit_ray.stages.textstats import LANG_ID_SQL  # noqa: E402
+
+TRAINING_ORACLES["lang_id"] = LANG_ID_SQL
 # same SQL: the resumable sink must be a lossless round-trip of the
 # identical transform
 TRAINING_ORACLES["resumable_tokens"] = TOKEN_COUNT_SQL

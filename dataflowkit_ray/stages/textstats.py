@@ -124,6 +124,138 @@ def doc_fingerprints(ds):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+# --------------------------------------------------- n-gram language ID
+
+# Character-trigram profiles (Cavnar & Trenkle, "N-Gram-Based Text
+# Categorization", SDAIR'94): the most frequent trigrams of each
+# language, integer-weighted by rank so scores stay exact int64 and the
+# DuckDB oracle replays them bit-for-bit.  ASCII-only trigrams on
+# purpose: UTF-8 is self-synchronizing, so byte-position matches of an
+# ASCII pattern are exactly its character-position matches in ANY utf-8
+# text — the vectorized byte scan below and SQL's char-based substr
+# agree on every input, multibyte included.  A real deployment swaps in
+# bigger per-language tables (same broadcast shape, more rows).
+LANG_PROFILES: dict[str, dict[str, int]] = {
+    "de": {
+        "der": 7, "ein": 6, "sch": 6, "ich": 5, "die": 5, "und": 5,
+        "en ": 3, "ung": 3, "cht": 2, " ge": 2, "ver": 1, "nde": 1,
+    },
+    "en": {
+        " th": 7, "the": 7, "he ": 6, "ing": 5, "and": 5, " an": 4,
+        "ion": 3, "ent": 3, " of": 3, "of ": 2, "is ": 2, "er ": 1,
+    },
+    "fr": {
+        " de": 7, "de ": 6, "es ": 5, "le ": 5, "ent": 4, "que": 4,
+        "les": 3, " la": 3, "ais": 2, "eur": 2, "lle": 2, "ons": 1,
+    },
+}
+
+_LANGS = sorted(LANG_PROFILES)  # argmax tie-break = lexicographic
+_TRIGRAMS = sorted({g for p in LANG_PROFILES.values() for g in p})
+_PAT_BYTES = np.array(
+    [list(g.encode("ascii")) for g in _TRIGRAMS], dtype=np.uint8
+)
+# (G, L) weight matrix
+_W = np.array(
+    [[LANG_PROFILES[l].get(g, 0) for l in _LANGS] for g in _TRIGRAMS],
+    dtype=np.int64,
+)
+
+
+def _utf8_flat(text: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(byte_offsets int64 (n+1) zero-based, flat utf-8 bytes) of a
+    string column — zero-copy views over the Arrow buffers."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(pc.cast(text, pa.string()), "")
+    bufs = text.buffers()
+    off = np.frombuffer(bufs[1], np.int32)[
+        text.offset : text.offset + len(text) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8)
+    return off - off[0], data[off[0] : off[-1]]
+
+
+def lang_id_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, lang_pred, lang_score): overlapping-trigram profile
+    scoring.  score(doc, lang) = sum over trigram OCCURRENCES of the
+    lang's integer weight; prediction = argmax (ties -> lexicographic),
+    'unk' when no profile trigram occurs at all.  One vectorized byte
+    scan per profile trigram (G ~ 34), no per-row Python."""
+    off, data = _utf8_flat(pc.utf8_lower(t["text"]))
+    n = len(off) - 1
+    counts = np.zeros((n, len(_TRIGRAMS)), np.int64)
+    if len(data) >= 3 and n > 0:
+        b0, b1, b2 = data[:-2], data[1:-1], data[2:]
+        ends = off[1:]
+        for gi in range(len(_TRIGRAMS)):
+            p0, p1, p2 = _PAT_BYTES[gi]
+            pos = np.flatnonzero((b0 == p0) & (b1 == p1) & (b2 == p2))
+            if len(pos) == 0:
+                continue
+            r = np.searchsorted(off, pos, side="right") - 1
+            ok = pos + 3 <= ends[r]  # drop matches spanning row bounds
+            counts[:, gi] = np.bincount(r[ok], minlength=n)
+    scores = counts @ _W  # (n, L) int64
+    top = scores.max(axis=1)
+    pred = np.asarray(_LANGS, dtype=object)[np.argmax(scores, axis=1)]
+    lang = np.where(top > 0, pred, "unk")
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "lang_pred": pa.array(lang.tolist(), pa.string()),
+            "lang_score": pa.array(top),
+        }
+    )
+
+
+def lang_id(ds):
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def _lang_profile_values_sql() -> str:
+    rows = ",\n    ".join(
+        f"('{l}', '{g}', {w})"
+        for l in _LANGS
+        for g, w in sorted(LANG_PROFILES[l].items())
+    )
+    return rows
+
+
+# SQL twin: per-occurrence trigram join against the same profile VALUES
+LANG_ID_SQL = f"""
+WITH lowered AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, GREATEST(length(lt) - 2, 0)),
+           i -> substr(lt, i, 3))) AS g
+  FROM lowered
+),
+prof(lang, g, w) AS (VALUES
+    {_lang_profile_values_sql()}
+),
+sc AS (
+  SELECT doc_id, lang, SUM(w) AS score
+  FROM tg JOIN prof USING (g)
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM sc
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       COALESCE(CASE WHEN b.score > 0 THEN b.lang END, 'unk') AS lang_pred,
+       CAST(COALESCE(b.score, 0) AS BIGINT) AS lang_score
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
 # --------------------------------------------------------- PII redaction
 
 # ordered (pattern, replacement) pairs — RE2 syntax, which Arrow

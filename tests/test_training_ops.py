@@ -84,6 +84,73 @@ def test_simhash_recall_is_exact(ray_session):
     assert sorted(zip(got.doc_a, got.doc_b, got.hamming)) == sorted(exp)
 
 
+def test_lang_id_classifies_planted_languages(ray_session):
+    """The trigram profiles must separate clearly-English / German /
+    French sentences and fall back to 'unk' when no profile trigram
+    occurs; argmax ties break lexicographically (asserted via a doc
+    built to score identically for two languages)."""
+    import ray
+
+    from dataflowkit_ray.stages.textstats import lang_id
+
+    docs = {
+        0: "the quick brown fox is jumping over the lazy dog and the cat",
+        1: "ich habe ein buch und der hund schlief unter der schoenen eiche",
+        2: "le chien de la ville est entre dans les maisons que nous aimons",
+        3: "zzz qqq xxx",  # no profile trigram anywhere
+        # 'ing' (en, w=5) vs 'die' (de, w=5): equal score 5 -> tie ->
+        # lexicographic winner 'de'
+        4: "bingx die",
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": v} for k, v in docs.items()]
+    )
+    got = (
+        lang_id(ds)
+        .to_pandas()
+        .astype({"doc_id": int})
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0, "lang_pred"] == "en"
+    assert got.loc[1, "lang_pred"] == "de"
+    assert got.loc[2, "lang_pred"] == "fr"
+    assert got.loc[3, "lang_pred"] == "unk" and got.loc[3, "lang_score"] == 0
+    assert got.loc[4, "lang_pred"] == "de" and got.loc[4, "lang_score"] == 5
+    assert (got.loc[[0, 1, 2], "lang_score"] > 10).all()
+
+
+def test_lang_id_multibyte_text_matches_sql_semantics(ray_session):
+    """Byte-scan counting must equal character-position counting on
+    multibyte text (UTF-8 self-synchronization): an ASCII trigram
+    straddled by multibyte chars still counts, a row boundary does not."""
+    import duckdb
+    import ray
+
+    from dataflowkit_ray.stages.textstats import LANG_ID_SQL, lang_id
+
+    texts = [
+        "café the über der ingénieur",  # accents around hits
+        "中文 und ein 中文 buch",  # CJK between hits
+        "the",  # exact-length row: match must not leak into next row
+        "der",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    got = (
+        lang_id(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute(LANG_ID_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    assert got.lang_pred.tolist() == exp.lang_pred.tolist()
+    assert got.lang_score.tolist() == exp.lang_score.tolist()
+
+
 def test_ngram_jaccard_prefix_filter_is_exact(ray_session):
     """Prefix filtering (Bayardo et al. WWW'07) is EXACT: at t=0.5 —
     where 64/32-band minhash misses ~36% of J=0.5 pairs — the engine
