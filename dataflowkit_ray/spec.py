@@ -84,11 +84,28 @@ class DedupSpec:
     stream (``source.tokenize=False``) and replaces the analytic tail —
     exclusive with pattern/join/window/aggregates."""
 
-    kind: str = "exact"  # exact | minhash | simhash
-    threshold: float = 0.8  # minhash Jaccard threshold
+    kind: str = "exact"  # exact | minhash | ngram | simhash
+    threshold: float = 0.8  # minhash/ngram Jaccard threshold
     max_hamming: int = 3  # simhash distance bound
     text_col: str = "text"
     id_col: str = "doc_id"
+
+
+@dataclass
+class TextSpec:
+    """Text-analysis terminal stage over the RAW document stream
+    (``source.tokenize=False``), dispatching to the SAME stage builders
+    the query registry exposes — no parallel implementation to drift:
+
+    * stats       — words / distinct / stopword ratio / quality / lang
+    * lang_id     — character-trigram language ID (profile argmax)
+    * pii         — email / IPv4 / long-digit-run redaction
+    * tokens      — whitespace, subword-regex and chars/4 token counts
+    * quality     — Gopher-style repetition/format gates
+    * fingerprint — FNV content hash per document
+    """
+
+    kind: str = "stats"
 
 
 @dataclass
@@ -168,6 +185,12 @@ class SinkSpec:
     format: str = "parquet"  # parquet | csv | json | jsonl | xml | xlsx
     compression: str | None = None  # None | "gz" (csv/json*)
     exactly_once: bool = False  # parquet only: manifest-committed parts
+    # parquet only: resumable hash-partitioned output — deterministic
+    # partition per hash(partition_by) % n_parts with per-partition
+    # done-markers; a re-run skips committed partitions
+    partition_by: list[str] | None = None
+    n_parts: int = 64
+    resume: bool = True  # only read when partition_by is set
 
 
 @dataclass
@@ -207,6 +230,7 @@ class PipelineSpec:
     pattern: PatternSpec | None = None
     join: JoinSpec | None = None
     dedup: DedupSpec | None = None
+    text: TextSpec | None = None
     policy: PolicySpec | None = None
     throttle: ThrottleSpec | None = None
     asof: AsofSpec | None = None
@@ -247,6 +271,7 @@ class PipelineSpec:
             ),
             join=JoinSpec(**d["join"]) if d.get("join") else None,
             dedup=DedupSpec(**d["dedup"]) if d.get("dedup") else None,
+            text=TextSpec(**d["text"]) if d.get("text") else None,
             asof=AsofSpec(**d["asof"]) if d.get("asof") else None,
             policy=PolicySpec(**d["policy"]) if d.get("policy") else None,
             throttle=ThrottleSpec(**d["throttle"]) if d.get("throttle") else None,
@@ -267,6 +292,7 @@ class PipelineSpec:
 _SOURCE_FORMATS = ("parquet", "csv", "json")
 _SINK_FORMATS = ("parquet", "csv", "json", "jsonl", "xml", "xlsx")
 _WINDOW_KINDS = ("tumbling", "sliding", "session")
+_TEXT_KINDS = ("stats", "lang_id", "pii", "tokens", "quality", "fingerprint")
 _AGG_FNS = ("sum", "count", "min", "max", "mean")
 
 
@@ -313,12 +339,25 @@ def validate_spec(spec: PipelineSpec) -> None:
             if set_kinds != 1:
                 raise SpecError("each step sets exactly one of literal/any_of/residue")
     if spec.dedup:
-        if spec.dedup.kind not in ("exact", "minhash", "simhash"):
+        if spec.dedup.kind not in ("exact", "minhash", "ngram", "simhash"):
             raise SpecError(f"unknown dedup kind {spec.dedup.kind!r}")
+        if spec.dedup.kind in ("minhash", "ngram") and not (
+            0.0 < spec.dedup.threshold <= 1.0
+        ):
+            raise SpecError("dedup threshold must lie in (0, 1]")
         if spec.source.tokenize:
             raise SpecError("dedup runs on raw documents: set source.tokenize=false")
         if spec.pattern or spec.join or spec.window or spec.aggregates:
             raise SpecError("dedup is a terminal stage: no pattern/join/window/aggregates")
+    if spec.text:
+        if spec.text.kind not in _TEXT_KINDS:
+            raise SpecError(
+                f"unknown text kind {spec.text.kind!r}; one of {_TEXT_KINDS}"
+            )
+        if spec.source.tokenize:
+            raise SpecError("text analysis runs on raw documents: set source.tokenize=false")
+        if spec.pattern or spec.join or spec.window or spec.aggregates:
+            raise SpecError("text is a terminal stage: no pattern/join/window/aggregates")
     if spec.policy and spec.policy.enabled and not spec.source.tokenize:
         raise SpecError("source policy applies to the token stream: source.tokenize=true")
     if spec.throttle and spec.throttle.rows_per_sec <= 0:
@@ -333,6 +372,7 @@ def validate_spec(spec: PipelineSpec) -> None:
         "ann": spec.ann,
         "quantiles": spec.quantiles,
         "dedup": spec.dedup,
+        "text": spec.text,
     }
     _set = [n for n, v in _terminal.items() if v]
     if len(_set) > 1:
@@ -392,6 +432,17 @@ def validate_spec(spec: PipelineSpec) -> None:
         raise SpecError("exactly_once sink requires parquet")
     if spec.sink and spec.sink.compression not in (None, "gz"):
         raise SpecError(f"unsupported compression {spec.sink.compression!r}")
+    if spec.sink and spec.sink.partition_by is not None:
+        if spec.sink.format != "parquet":
+            raise SpecError("partition_by sink requires parquet")
+        if spec.sink.exactly_once:
+            raise SpecError(
+                "partition_by and exactly_once are different sink disciplines; set one"
+            )
+        if not spec.sink.partition_by:
+            raise SpecError("partition_by needs >= 1 key column")
+        if spec.sink.n_parts <= 0:
+            raise SpecError("sink n_parts must be > 0")
     if spec.streaming:
         st = spec.streaming
         if st.mode not in ("windowed", "events"):
@@ -404,7 +455,10 @@ def validate_spec(spec: PipelineSpec) -> None:
             raise SpecError(
                 "streaming writes its own exactly-once sink under work_dir; omit sink"
             )
-        if spec.dedup or spec.asof or spec.join or spec.relational or spec.ann or spec.quantiles:
+        if (
+            spec.dedup or spec.text or spec.asof or spec.join
+            or spec.relational or spec.ann or spec.quantiles
+        ):
             raise SpecError("streaming covers window/pattern stages only")
         if (
             spec.filters
@@ -483,7 +537,16 @@ def build_pipeline(spec: PipelineSpec):
         )
 
     if src.format == "parquet":
-        ds = ray.data.read_parquet(src.paths, columns=src.columns)
+        from dataflowkit_ray.tokenize import blocks_for
+
+        # volume-derived block count (sum over paths): Ray's CPU-derived
+        # default over-fragments small tables and every downstream sort
+        # then coordinates near-empty partitions / emits zero-column
+        # blocks (the measured r1 pitfall)
+        nb = sum(blocks_for(p) for p in src.paths)
+        ds = ray.data.read_parquet(
+            src.paths, columns=src.columns, override_num_blocks=min(nb, 512)
+        )
     elif src.format == "csv":
         ds = ray.data.read_csv(src.paths)
     else:
@@ -525,6 +588,7 @@ def build_pipeline(spec: PipelineSpec):
         from dataflowkit_ray.stages.dedup import (
             exact_dedup,
             minhash_lsh_pairs,
+            ngram_jaccard_pairs,
             simhash_pairs,
         )
 
@@ -535,9 +599,25 @@ def build_pipeline(spec: PipelineSpec):
             return minhash_lsh_pairs(
                 ds, threshold=dd.threshold, text_col=dd.text_col, id_col=dd.id_col
             )
+        if dd.kind == "ngram":
+            return ngram_jaccard_pairs(
+                ds, threshold=dd.threshold, text_col=dd.text_col, id_col=dd.id_col
+            )
         return simhash_pairs(
             ds, max_hamming=dd.max_hamming, text_col=dd.text_col, id_col=dd.id_col
         )
+
+    if spec.text:
+        from dataflowkit_ray.stages import textstats as _ts
+
+        return {
+            "stats": _ts.text_stats,
+            "lang_id": _ts.lang_id,
+            "pii": _ts.redact_pii,
+            "tokens": _ts.token_counts,
+            "quality": _ts.repetition_filter,
+            "fingerprint": _ts.doc_fingerprints,
+        }[spec.text.kind](ds)
 
 
     if spec.quantiles:
@@ -698,6 +778,25 @@ def run_pipeline(spec: PipelineSpec):
 
     t0 = time.perf_counter()
     ds = build_pipeline(spec)
+    if spec.sink.partition_by is not None:
+        from dataflowkit_ray.sinks.resumable import write_partitioned
+
+        summary = write_partitioned(
+            ds,
+            spec.sink.path,
+            list(spec.sink.partition_by),
+            n_parts=spec.sink.n_parts,
+            resume=spec.sink.resume,
+        )
+        return {
+            "pipeline": spec.name,
+            "rows": summary["rows"],
+            "partitions_written": summary["processed"],
+            "partitions_skipped": summary["skipped"],
+            "sink": spec.sink.path,
+            "format": spec.sink.format,
+            "took_sec": round(time.perf_counter() - t0, 3),
+        }
     rows = write_sink(ds, spec.sink)
     return {
         "pipeline": spec.name,

@@ -666,3 +666,121 @@ def test_spec_branch_validation():
                 quantiles=QuantilesSpec(keys=["source"], value_col="n_tok"),
             )
         )
+
+
+def test_spec_text_and_ngram_branches(ray_session):
+    """Round-4 spec surface: text-analysis terminal + ngram dedup kind —
+    spec runs must equal the direct stage calls."""
+    from dataflowkit_ray.spec import DedupSpec, TextSpec
+
+    src = SourceSpec(
+        paths=[f"{SF}/documents.parquet"], tokenize=False,
+        columns=["doc_id", "text"],
+    )
+
+    # lang_id via spec == direct query
+    spec = PipelineSpec(name="lid", source=src, text=TextSpec(kind="lang_id"))
+    got = build_pipeline(spec).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    from dataflowkit_ray.pipelines.training import q_lang_id, q_ngram_jaccard_pairs
+
+    exp = q_lang_id(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(exp)
+
+    # ngram dedup via spec == direct query
+    spec2 = PipelineSpec(
+        name="ng", source=src, dedup=DedupSpec(kind="ngram", threshold=0.5)
+    )
+    got2 = (
+        build_pipeline(spec2).to_pandas()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    exp2 = (
+        q_ngram_jaccard_pairs(SF).to_pandas()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert got2.equals(exp2)
+
+    # json round-trip keeps both branches
+    spec3 = PipelineSpec.from_json(spec.to_json())
+    assert spec3.text.kind == "lang_id"
+    spec4 = PipelineSpec.from_json(spec2.to_json())
+    assert spec4.dedup.kind == "ngram" and spec4.dedup.threshold == 0.5
+
+    # validation: text on tokenized stream / unknown kind / double terminal
+    with pytest.raises(SpecError):
+        validate_spec(
+            PipelineSpec(
+                name="bad",
+                source=SourceSpec(paths=[f"{SF}/documents.parquet"], tokenize=True),
+                text=TextSpec(kind="stats"),
+            )
+        )
+    with pytest.raises(SpecError):
+        validate_spec(PipelineSpec(name="bad", source=src, text=TextSpec(kind="nope")))
+    with pytest.raises(SpecError):
+        validate_spec(
+            PipelineSpec(
+                name="bad", source=src,
+                text=TextSpec(kind="stats"), dedup=DedupSpec(kind="exact"),
+            )
+        )
+    with pytest.raises(SpecError):
+        validate_spec(
+            PipelineSpec(
+                name="bad", source=src,
+                dedup=DedupSpec(kind="ngram", threshold=1.5),
+            )
+        )
+
+
+def test_spec_partitioned_resumable_sink(ray_session, tmp_path):
+    """partition_by sink: spec-driven write_partitioned with resume —
+    a second run over the same directory skips every partition."""
+    import os
+
+    from dataflowkit_ray.spec import TextSpec
+
+    out = str(tmp_path / "parts")
+    spec = PipelineSpec(
+        name="tok",
+        source=SourceSpec(
+            paths=[f"{SF}/documents.parquet"], tokenize=False,
+            columns=["doc_id", "text"],
+        ),
+        text=TextSpec(kind="tokens"),
+        sink=SinkSpec(path=out, partition_by=["doc_id"], n_parts=8),
+    )
+    r1 = run_pipeline(spec)
+    assert r1["rows"] == 500 and r1["partitions_skipped"] == 0
+    mt = {
+        f: os.stat(os.path.join(out, f)).st_mtime_ns
+        for f in os.listdir(out) if f.endswith(".parquet")
+    }
+    r2 = run_pipeline(spec)
+    assert r2["rows"] == 500 and r2["partitions_written"] == 0
+    assert r2["partitions_skipped"] == r1["partitions_written"]
+    for f, old in mt.items():
+        assert os.stat(os.path.join(out, f)).st_mtime_ns == old
+
+    from dataflowkit_ray.sinks.resumable import read_committed
+
+    back = read_committed(out).to_pandas()
+    assert len(back) == 500 and set(back.columns) >= {"doc_id", "n_ws_tokens"}
+
+    # validation: partition_by composes with parquet only, not exactly_once
+    with pytest.raises(SpecError):
+        validate_spec(
+            PipelineSpec(
+                name="bad",
+                source=SourceSpec(paths=[f"{SF}/documents.parquet"]),
+                sink=SinkSpec(path=out, format="csv", partition_by=["doc_id"]),
+            )
+        )
+    with pytest.raises(SpecError):
+        validate_spec(
+            PipelineSpec(
+                name="bad",
+                source=SourceSpec(paths=[f"{SF}/documents.parquet"]),
+                sink=SinkSpec(path=out, partition_by=["doc_id"], exactly_once=True),
+            )
+        )
