@@ -372,6 +372,29 @@ TRAINING_ORACLES["lang_id"] = LANG_ID_SQL
 # identical transform
 TRAINING_ORACLES["resumable_tokens"] = TOKEN_COUNT_SQL
 
+# multimodal_meta: the synthesize -> REAL container decode -> every-30th
+# frame sample chain is a pure function of (doc_id, utf-8 byte length),
+# so SQL replays the expected metadata independently of the decoders:
+# image n_frames = 1; audio = decoded WAV sample count = 64 + L % 256;
+# video = walked Y4M FRAME count = 8 + L % 64.  A decoder bug (wrong
+# plane geometry, off-by-one frame walk) breaks the hash match.
+TRAINING_ORACLES["multimodal_meta"] = """
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             CASE CAST(doc_id AS BIGINT) % 3
+               WHEN 0 THEN 1
+               WHEN 1 THEN 64 + octet_length(encode(text)) % 256
+               ELSE 8 + octet_length(encode(text)) % 64
+             END AS n_frames
+      FROM documents
+    )
+    SELECT media_id,
+           CAST((u.k - 1) * 30 AS BIGINT) AS frame_idx
+    FROM m,
+         unnest(generate_series(
+           1, GREATEST(1, CAST(ceil(n_frames / 30.0) AS BIGINT)))) AS u(k)
+"""
+
 from dataflowkit_ray.pipelines import sqlgen as _sg
 from dataflowkit_ray.tokenize import TOKEN_SQL_EXPR as _TOKEN_SQL_EXPR
 
