@@ -86,6 +86,7 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         "filters_regex",
         "exact_dedup",
         "minhash_dup_pairs",
+        "ngram_jaccard_pairs",
         "simhash_pairs",
         "ann_topk",
         "ivf_topk",
@@ -94,6 +95,8 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         "token_counts",
         "pii_redact",
         "quality_filter",
+        "lang_id",
+        "resumable_tokens",
         "quantiles",
         "quantiles_sketch",
         "approx_distinct",

@@ -71,10 +71,10 @@ def q_minhash_dup_pairs(sf_dir: str):
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
-    """EXACT n-gram-Jaccard pairs at t=0.5 via prefix filtering — recall
-    1.0 where minhash banding is probabilistic (P[candidate | J=0.5]
-    ~ 0.64); the oracle is the same exact all-pairs join at the lower
-    threshold."""
+    """EXACT n-gram-Jaccard pairs at t=0.5 via inverted-index
+    co-occurrence counting — recall 1.0 where minhash banding is
+    probabilistic (P[candidate | J=0.5] ~ 0.64); the oracle is the same
+    exact all-pairs join at the lower threshold."""
     return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
 
 

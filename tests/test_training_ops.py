@@ -151,8 +151,8 @@ def test_lang_id_multibyte_text_matches_sql_semantics(ray_session):
     assert got.lang_score.tolist() == exp.lang_score.tolist()
 
 
-def test_ngram_jaccard_prefix_filter_is_exact(ray_session):
-    """Prefix filtering (Bayardo et al. WWW'07) is EXACT: at t=0.5 —
+def test_ngram_jaccard_counting_is_exact(ray_session):
+    """Inverted-index co-occurrence counting is EXACT: at t=0.5 —
     where 64/32-band minhash misses ~36% of J=0.5 pairs — the engine
     must return precisely the brute-force all-pairs set, including
     planted mid-range (J~0.55) variants that banding would drop."""
