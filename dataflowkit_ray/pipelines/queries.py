@@ -639,6 +639,27 @@ ORACLES: dict[str, str] = {
 }
 
 
+def q_streaming_dedup(sf_dir: str):
+    """Exact dedup computed the STREAMING way — micro-batch document
+    epochs, seen-hash state sharded by content hash and carried across
+    epochs, checkpointed, final-flushed into exactly-once sink parts —
+    then read back from the manifests.  Oracle: the SAME keep-first SQL
+    as the batch ``exact_dedup`` (the stream's final state must equal
+    the batch aggregate)."""
+    import tempfile
+
+    from dataflowkit_ray.dedup_runner import DedupStreamRunner
+    from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+
+    wd = tempfile.mkdtemp(prefix="dfkr_dedup_", dir="/tmp")
+    DedupStreamRunner(
+        [f"{sf_dir}/documents.parquet"],
+        wd,
+        target_rows=_epoch_rows(f"{sf_dir}/documents.parquet"),
+    ).run()
+    return ExactlyOnceSink(f"{wd}/dedup").read_committed()
+
+
 QUERIES = {
     "token_table": q_token_table,
     "tumbling_agg": q_tumbling_agg,
@@ -653,6 +674,7 @@ QUERIES = {
     "filters_regex": q_filters_regex,
     "streaming_windowed": q_streaming_windowed,
     "streaming_sessions": q_streaming_sessions,
+    "streaming_dedup": q_streaming_dedup,
     "filtered_read": q_filtered_read,
     "drop_short": q_drop_short,
     "streaming_funnel": q_streaming_funnel,
@@ -739,6 +761,11 @@ ORACLES["streaming_join"] = f"""
 """
 
 ORACLES["streaming_sessions"] = ORACLES["session_events"]
+# the stream-final dedup state must equal the batch aggregate
+ORACLES["streaming_dedup"] = """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+"""
 ORACLES["filtered_read"] = """
     SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, n_chars
     FROM documents WHERE lang = 'en' AND n_chars > 200

@@ -206,13 +206,16 @@ class StreamingSpec:
     spec's ``WindowSpec``, the CEP pattern from ``PatternSpec``.
     mode "events": ``event_runner.EventStreamRunner`` — session windows
     (``gap``) + cross-batch CEP over the keyed event stream.
+    mode "dedup": ``dedup_runner.DedupStreamRunner`` — streaming exact
+    dedup: seen-hash state sharded by content hash across epochs, final
+    (doc_id, n_copies) flush equal to the batch operator.
 
     Streaming writes through its own exactly-once manifest sink under
     ``work_dir`` (checkpoint/resume included), so ``sink`` must be
     omitted."""
 
     work_dir: str
-    mode: str = "windowed"  # windowed | events
+    mode: str = "windowed"  # windowed | events | dedup
     chunks_per_epoch: int = 2
     target_rows: int = 512
     n_shards: int | None = None
@@ -445,8 +448,10 @@ def validate_spec(spec: PipelineSpec) -> None:
             raise SpecError("sink n_parts must be > 0")
     if spec.streaming:
         st = spec.streaming
-        if st.mode not in ("windowed", "events"):
+        if st.mode not in ("windowed", "events", "dedup"):
             raise SpecError(f"unknown streaming mode {st.mode!r}")
+        if st.mode == "dedup" and (spec.window or spec.pattern):
+            raise SpecError("dedup streaming takes no window/pattern stages")
         if not st.work_dir:
             raise SpecError("streaming needs a work_dir")
         if st.chunks_per_epoch <= 0 or st.target_rows <= 0:
@@ -472,8 +477,8 @@ def validate_spec(spec: PipelineSpec) -> None:
                 "streaming covers window/pattern stages only; "
                 "filters/aggregates/policy/throttle are batch-spec stages"
             )
-        if st.mode == "windowed" and st.gap is not None:
-            raise SpecError("gap is an events-mode knob; windowed mode ignores it")
+        if st.mode in ("windowed", "dedup") and st.gap is not None:
+            raise SpecError(f"gap is an events-mode knob; {st.mode} mode ignores it")
         if st.mode == "windowed" and spec.window and spec.window.kind == "session":
             raise SpecError(
                 "windowed streaming supports tumbling/sliding; use mode=events for sessions"
@@ -715,7 +720,17 @@ def run_streaming(spec: PipelineSpec) -> dict:
     validate_spec(spec)
     st = spec.streaming
     t0 = time.perf_counter()
-    if st.mode == "windowed":
+    if st.mode == "dedup":
+        from dataflowkit_ray.dedup_runner import DedupStreamRunner
+
+        r = DedupStreamRunner(
+            spec.source.paths,
+            st.work_dir,
+            n_shards=st.n_shards or 4,
+            chunks_per_epoch=st.chunks_per_epoch,
+            target_rows=st.target_rows,
+        )
+    elif st.mode == "windowed":
         from dataflowkit_ray.runner import StreamingRunner
 
         w = spec.window

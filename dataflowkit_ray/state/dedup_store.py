@@ -1,0 +1,121 @@
+"""Streaming exact-dedup state shard: keyed seen-hash store across
+micro-batch epochs.
+
+The web-scale-ingest version of :func:`~dataflowkit_ray.stages.dedup.
+exact_dedup`: documents arrive epoch by epoch, each shard owns a hash
+range of the 64-bit content-hash space and keeps (min doc_id, copy
+count) per distinct hash — the streaming analog of the reference's
+idempotent Upsert-on-content-hash (``/root/reference/storage/
+mongo.go:70-72``; SURVEY.md §2.6 O3).  After the final epoch, every
+shard writes its own sorted sink part; the FINAL output is identical to
+the batch operator (asserted by the ``streaming_dedup`` DuckDB oracle,
+which is the same SQL as ``exact_dedup``).
+
+State size is O(distinct hashes) per shard — the inherent memory of
+exact streaming dedup; shard count scales it horizontally (16 bytes per
+distinct doc per shard).  Checkpoints snapshot the full per-shard array
+per epoch; at very long streams a delta/compaction scheme (or the diskv
+TTL backend in ``state/store.py``) would amortize that — documented
+trade for bit-identical crash-resume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from dataflowkit_ray.state.store import StagingBuffer, np_int64
+
+
+@ray.remote
+class DedupStateShard:
+    def __init__(self):
+        # content hash -> [min doc_id, copies]
+        self.state: dict[int, list[int]] = {}
+        self.last_applied: int = -1
+        self.staging = StagingBuffer()
+        from dataflowkit_ray.state.store import warm_arrow_kernels
+
+        warm_arrow_kernels()
+
+    def reset(self, *args) -> None:
+        self.__init__(*args)
+
+    def stage(self, epoch: int, chunk_seq, blob: bytes) -> None:
+        """Idempotent (epoch, chunk) staging — map_batches tasks are the
+        data plane; the driver only ever calls :meth:`seal`."""
+        self.staging.stage(epoch, chunk_seq, blob, self.last_applied)
+
+    def seal(self, epoch: int) -> dict:
+        """Apply every staged chunk of the epoch; returns counters."""
+        t = self.staging.drain(epoch)
+        if epoch <= self.last_applied:
+            return {"rows": 0}
+        self.last_applied = epoch
+        if t is None:
+            return {"rows": 0}
+        self._merge_table(t)
+        return {"rows": len(t)}
+
+    def _merge_table(self, t: pa.Table) -> None:
+        """Vectorized epoch merge: one in-batch (hash -> min id, count)
+        reduction in numpy, then Python only over DISTINCT hashes for the
+        state-dict update (the session-shard idiom)."""
+        n = len(t)
+        if n == 0:
+            return
+        h = np_int64(t["key"])
+        d = np_int64(t["doc_id"])
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        starts = np.nonzero(first)[0]
+        counts = np.diff(np.append(starts, n))
+        mins = d[starts]  # sorted by (h, d): first row per hash = min id
+        st = self.state
+        for hh, mi, c in zip(h[starts].tolist(), mins.tolist(), counts.tolist()):
+            cur = st.get(hh)
+            if cur is None:
+                st[hh] = [mi, int(c)]
+            else:
+                if mi < cur[0]:
+                    cur[0] = mi
+                cur[1] += int(c)
+
+    def final_to_sink(self, parts_dir: str, epoch: int, part_idx: int) -> dict | None:
+        """Write this shard's (doc_id, n_copies) rows, sorted by doc_id,
+        as its own deterministic sink part — the global aggregate is only
+        final at stream end, so emission happens exactly once, here."""
+        from dataflowkit_ray.sinks.exactly_once import write_sink_part
+
+        if not self.state:
+            return None
+        rows = sorted((v[0], v[1]) for v in self.state.values())
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "n_copies": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        return write_sink_part(parts_dir, epoch, part_idx, t)
+
+    def snapshot(self) -> dict:
+        items = self.state.items()
+        return {
+            "last_applied": self.last_applied,
+            "h": np.fromiter((k for k, _ in items), np.int64, len(self.state)),
+            "mid": np.fromiter((v[0] for _, v in items), np.int64, len(self.state)),
+            "cnt": np.fromiter((v[1] for _, v in items), np.int64, len(self.state)),
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.last_applied = snap["last_applied"]
+        self.state = {
+            int(k): [int(m), int(c)]
+            for k, m, c in zip(snap["h"], snap["mid"], snap["cnt"])
+        }
+
+    def stats(self) -> dict:
+        return {"distinct": len(self.state), "last_applied": self.last_applied}

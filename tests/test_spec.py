@@ -784,3 +784,45 @@ def test_spec_partitioned_resumable_sink(ray_session, tmp_path):
                 sink=SinkSpec(path=out, partition_by=["doc_id"], exactly_once=True),
             )
         )
+
+
+def test_spec_streaming_dedup_mode(ray_session, tmp_path):
+    """streaming mode=dedup from JSON == the batch exact_dedup output."""
+    from dataflowkit_ray.spec import StreamingSpec, run_pipeline
+
+    spec = PipelineSpec(
+        name="sdd",
+        source=SourceSpec(
+            paths=[f"{SF}/documents.parquet"], tokenize=False,
+            columns=["doc_id", "text"],
+        ),
+        streaming=StreamingSpec(
+            work_dir=str(tmp_path / "wd"), mode="dedup", target_rows=64
+        ),
+    )
+    spec = PipelineSpec.from_json(spec.to_json())  # round-trip keeps mode
+    assert spec.streaming.mode == "dedup"
+    summary = run_pipeline(spec)
+    assert summary["rows_out"] == 500
+
+    from dataflowkit_ray.pipelines.training import q_exact_dedup
+    from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+
+    got = (
+        ExactlyOnceSink(str(tmp_path / "wd" / "dedup"))
+        .read_committed_table().to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = q_exact_dedup(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(exp)
+
+    with pytest.raises(SpecError):
+        validate_spec(
+            PipelineSpec(
+                name="bad",
+                source=SourceSpec(paths=[f"{SF}/documents.parquet"], tokenize=False),
+                streaming=StreamingSpec(
+                    work_dir=str(tmp_path / "wd2"), mode="dedup", gap=5
+                ),
+            )
+        )
