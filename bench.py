@@ -98,6 +98,7 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         "quality_filter",
         "lang_id",
         "resumable_tokens",
+        "heavy_hitters",
         "quantiles",
         "quantiles_sketch",
         "approx_distinct",
@@ -106,6 +107,7 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         "top_orders",
         "streaming_windowed",
         "streaming_sessions",
+        "streaming_dedup",
     ):
         # min of three runs per query: the box shows transient
         # multi-second stalls (see _scaling_child) that can hit two

@@ -220,6 +220,16 @@ def q_lang_id(sf_dir: str):
     return lang_id(_docs(sf_dir))
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Top-20 corpus words by Count-Min estimate: mergeable bounded
+    sketch (256 KiB) broadcast once, block-local top-k, one tiny merge.
+    The DuckDB oracle replays the SAME md5 bucketing, so even the
+    approximation (collision-inflated estimates) hash-matches."""
+    from dataflowkit_ray.stages.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(_docs(sf_dir), _docs(sf_dir), k=20)
+
+
 def q_resumable_tokens(sf_dir: str):
     """Token counting pushed through the RESUMABLE shard sink: one task
     per input row-group writes an atomic part + done-marker, the result
@@ -270,6 +280,7 @@ TRAINING_QUERIES = {
     "quality_filter": q_quality_filter,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
+    "heavy_hitters": q_heavy_hitters,
     "resumable_tokens": q_resumable_tokens,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
@@ -368,6 +379,10 @@ TRAINING_ORACLES["token_counts"] = TOKEN_COUNT_SQL
 from dataflowkit_ray.stages.textstats import LANG_ID_SQL  # noqa: E402
 
 TRAINING_ORACLES["lang_id"] = LANG_ID_SQL
+
+from dataflowkit_ray.stages.sketch import heavy_hitters_sql  # noqa: E402
+
+TRAINING_ORACLES["heavy_hitters"] = heavy_hitters_sql(20)
 # same SQL: the resumable sink must be a lossless round-trip of the
 # identical transform
 TRAINING_ORACLES["resumable_tokens"] = TOKEN_COUNT_SQL

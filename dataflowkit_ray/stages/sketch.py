@@ -366,3 +366,210 @@ def quantile_sketch(
             batch_format="pyarrow",
         )
     )
+
+
+# ----------------------------------------------------- heavy hitters (CMS)
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+
+
+def _cms_word_partial(t: pa.Table, depth: int, width: int) -> pa.Table:
+    """One batch -> sparse Count-Min partial rows (d, bucket, cnt) over
+    the batch's words.  md5 is computed once per UNIQUE (d, word) via the
+    batch dictionary (the ``_word_hashes`` amortization); counts ride the
+    dictionary codes."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    text = t["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern(pc.fill_null(text, ""), pattern=" ").flatten()
+    if len(words) == 0:
+        return pa.table(
+            {
+                "d": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    enc = words.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    counts = np.bincount(
+        enc.indices.to_numpy(zero_copy_only=False), minlength=len(uniq)
+    ).astype(np.int64)
+    ds_, bs_, cs_ = [], [], []
+    for d in range(depth):
+        pre = f"{d}:"
+        b = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5((pre + w).encode()).digest()[8:], "little")
+                % width
+                for w in uniq
+            ),
+            count=len(uniq),
+            dtype=np.int64,
+        )
+        # in-batch combine: several words can share a bucket
+        dense = np.bincount(b, weights=counts, minlength=width).astype(np.int64)
+        nz = np.flatnonzero(dense)
+        ds_.append(np.full(len(nz), d, dtype=np.int64))
+        bs_.append(nz.astype(np.int64))
+        cs_.append(dense[nz])
+    return pa.table(
+        {
+            "d": pa.array(np.concatenate(ds_)),
+            "bucket": pa.array(np.concatenate(bs_)),
+            "cnt": pa.array(np.concatenate(cs_)),
+        }
+    )
+
+
+def cms_build(ds, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> np.ndarray:
+    """Distributed Count-Min build over the document word stream: sparse
+    per-batch partials -> one (d, bucket) sum exchange -> the dense
+    (depth, width) array.  The driver pull is the SKETCH, <= depth*width
+    counters (256 KiB at the defaults) — constant in corpus size, the
+    same bounded-budget rule as the IVF centroid sample."""
+    from dataflowkit_ray.stages.agg import hash_agg
+
+    partials = ds.map_batches(
+        lambda t: _cms_word_partial(t, depth, width), batch_format="pyarrow"
+    )
+    summed = hash_agg(
+        partials, ("d", "bucket"), [("cnt", "sum", "cnt")], n_buckets=8
+    ).take_all()
+    cms = np.zeros((depth, width), dtype=np.int64)
+    for r in summed:
+        cms[int(r["d"]), int(r["bucket"])] = int(r["cnt"])
+    return cms
+
+
+def cms_heavy_hitters(
+    ds,
+    ds_again,
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+):
+    """Top-k most frequent words by Count-Min estimate (Cormode &
+    Muthukrishnan, J.Alg'05) — the heavy-hitters member of the sketch
+    family (KMV distinct / bottom-k quantiles / CMS counts).
+
+    Two passes, both streaming:
+      1. :func:`cms_build` — mergeable, order-insensitive (pure counter
+         sums), bounded state (depth x width), broadcast once;
+      2. per batch: DISTINCT words -> estimate = min_d cms[d, h_d(word)]
+         against the broadcast sketch -> block-local top-k partials ->
+         one tiny merge (the ``top_orders`` pattern).  A word in the
+         global top-k outranks all but < k words in ANY block containing
+         it, so block-local top-k loses nothing (recall exact for the
+         estimate ordering).
+
+    Everything — including the approximation itself (md5 bucket
+    collisions inflating estimates) — is a deterministic function of the
+    word multiset, so a DuckDB oracle REPLAYS the approximate answer
+    exactly (``HEAVY_HITTERS_SQL``); no exact-regime carve-out needed.
+    Estimates are upper bounds: true_count <= est <= true_count +
+    eps*N with eps = e/width at failure prob (1/2)^depth.
+
+    ``ds_again``: the same logical dataset for pass 2 (a Dataset can
+    only be consumed once per lineage without re-execution; callers pass
+    two reads of the same files).
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray
+
+    cms_ref = ray.put(cms_build(ds, depth, width))
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "word": pa.array([], pa.string()),
+                "est_count": pa.array([], pa.int64()),
+            }
+        )
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(text, ""), pattern=" ").flatten()
+        if len(words) == 0:
+            return empty
+        cms = ray.get(cms_ref)
+        uniq = sorted(set(words.to_pylist()))
+        est = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(depth):
+            pre = f"{d}:"
+            b = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5((pre + w).encode()).digest()[8:], "little"
+                    )
+                    % width
+                    for w in uniq
+                ),
+                count=len(uniq),
+                dtype=np.int64,
+            )
+            np.minimum(est, cms[d, b], out=est)
+        order = np.argsort(-est, kind="stable")[:k]  # uniq sorted => ties by word asc
+        return pa.table(
+            {
+                "word": pa.array([uniq[i] for i in order], pa.string()),
+                "est_count": pa.array(est[order]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        # dedupe by word (same word carries the identical global estimate
+        # from every block), then one final top-k
+        w = t["word"].to_pylist()
+        e = t["est_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seen: dict[str, int] = {}
+        for wi, ei in zip(w, e):
+            seen[wi] = int(ei)
+        items = sorted(seen.items())  # word asc for deterministic ties
+        ests = np.asarray([v for _, v in items], dtype=np.int64)
+        order = np.argsort(-ests, kind="stable")[:k]
+        return pa.table(
+            {
+                "word": pa.array([items[i][0] for i in order], pa.string()),
+                "est_count": pa.array(ests[order]),
+            }
+        )
+
+    return (
+        ds_again.map_batches(topk_block, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )
+
+
+def heavy_hitters_sql(k: int = 20, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> str:
+    """DuckDB replay of the CMS estimate — identical md5 bucketing, so
+    the oracle reproduces the approximation bit-for-bit."""
+    ds_list = ", ".join(str(d) for d in range(depth))
+    return f"""
+WITH wc AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+buck AS (
+  SELECT w, c, t.d,
+         md5_number_lower(CAST(t.d AS VARCHAR) || ':' || w) % {width} AS b
+  FROM wc, (SELECT unnest([{ds_list}]) AS d) t
+),
+cms AS (SELECT d, b, SUM(c) AS cnt FROM buck GROUP BY d, b),
+est AS (
+  SELECT buck.w, CAST(MIN(cms.cnt) AS BIGINT) AS est
+  FROM buck JOIN cms ON cms.d = buck.d AND cms.b = buck.b
+  GROUP BY buck.w
+)
+SELECT w AS word, est AS est_count
+FROM est ORDER BY est DESC, w ASC LIMIT {k}
+"""
