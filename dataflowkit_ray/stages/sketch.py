@@ -500,7 +500,9 @@ def cms_heavy_hitters(
         if len(words) == 0:
             return empty
         cms = ray.get(cms_ref)
-        uniq = sorted(set(words.to_pylist()))
+        # uniques via the batch dictionary (O(unique) Python, not
+        # O(words)); sorted so stable argsort breaks ties word-asc
+        uniq = sorted(words.dictionary_encode().dictionary.to_pylist())
         est = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
         for d in range(depth):
             pre = f"{d}:"
