@@ -761,11 +761,11 @@ ORACLES["streaming_join"] = f"""
 """
 
 ORACLES["streaming_sessions"] = ORACLES["session_events"]
-# the stream-final dedup state must equal the batch aggregate
-ORACLES["streaming_dedup"] = """
-    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-    FROM documents GROUP BY text
-"""
+# the stream-final dedup state must equal the batch aggregate — ONE
+# oracle definition shared with exact_dedup so they can never drift
+from dataflowkit_ray.pipelines.training import TRAINING_ORACLES as _TRAINING_ORACLES
+
+ORACLES["streaming_dedup"] = _TRAINING_ORACLES["exact_dedup"]
 ORACLES["filtered_read"] = """
     SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, n_chars
     FROM documents WHERE lang = 'en' AND n_chars > 200

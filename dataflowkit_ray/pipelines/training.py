@@ -286,16 +286,23 @@ TRAINING_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
 }
 
+# mirrors shingle_hash_flat exactly, including the <w-words fallback:
+# a doc with fewer than 3 words contributes its DISTINCT WORDS as the
+# shingle set (the engine emits one length-1 hash chain per word there;
+# word-vs-trigram strings can never collide across the two regimes, so
+# set cardinalities — hence Jaccard — agree on every doc pair)
 _SHINGLES_CTE = """
 sh AS (
   SELECT doc_id,
-         list_distinct(
-           list_transform(
-             generate_series(1, GREATEST(len(str_split(text,' ')) - 2, 0)),
-             i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]
-                  || ' ' || str_split(text,' ')[i+2]
-           )
-         ) AS grams
+         CASE WHEN len(str_split(text,' ')) < 3
+              THEN list_distinct(str_split(text,' '))
+              ELSE list_distinct(
+                list_transform(
+                  generate_series(1, len(str_split(text,' ')) - 2),
+                  i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]
+                       || ' ' || str_split(text,' ')[i+2]
+                )
+              ) END AS grams
   FROM documents
 )
 """

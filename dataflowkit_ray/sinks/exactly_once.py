@@ -56,6 +56,18 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     _fsync_dir(os.path.dirname(path) or ".")
 
 
+def atomic_write_parquet(t: pa.Table, final: str) -> None:
+    """THE parquet commit discipline (single definition — resumable.py
+    and the shard-sink writers share it): write to a temp name in the
+    same directory, fsync the data, atomic rename, fsync the directory
+    so the rename itself is durable before any manifest references it."""
+    tmp = final + ".tmp"
+    pq.write_table(t, tmp)
+    _fsync_file(tmp)
+    os.replace(tmp, final)
+    _fsync_dir(os.path.dirname(final) or ".")
+
+
 def write_sink_part(
     parts_dir: str, epoch: int, part_idx: int, t: pa.Table
 ) -> dict:
@@ -64,12 +76,7 @@ def write_sink_part(
     actor — this is how shard actors sink their own output without the
     rows ever visiting the driver."""
     name = f"part-e{epoch:05d}-p{part_idx:04d}.parquet"
-    final = os.path.join(parts_dir, name)
-    tmp = final + ".tmp"
-    pq.write_table(t, tmp)
-    _fsync_file(tmp)
-    os.replace(tmp, final)
-    _fsync_dir(parts_dir)
+    atomic_write_parquet(t, os.path.join(parts_dir, name))
     return {"part": name, "rows": len(t)}
 
 
@@ -116,12 +123,9 @@ class ExactlyOnceSink:
             part = int(t["_sink_part"][0].as_py())
             t = t.drop_columns(["_sink_part"])
             name = f"part-e{epoch:05d}-p{part:04d}.parquet"
-            final = os.path.join(parts_dir, name)
-            tmp = final + ".tmp"
-            pq.write_table(t, tmp)
-            _fsync_file(tmp)  # a durable manifest must never reference
-            os.replace(tmp, final)  # a part whose data blocks were lost
-            _fsync_dir(parts_dir)
+            # a durable manifest must never reference a part whose data
+            # blocks were lost
+            atomic_write_parquet(t, os.path.join(parts_dir, name))
             return pa.table({"part": [name], "rows": [len(t)]})
 
         written = (

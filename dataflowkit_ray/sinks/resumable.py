@@ -41,17 +41,8 @@ import pyarrow.parquet as pq
 
 from dataflowkit_ray.sinks.exactly_once import (
     _atomic_write_json,
-    _fsync_dir,
-    _fsync_file,
+    atomic_write_parquet as _atomic_write_table,
 )
-
-
-def _atomic_write_table(t: pa.Table, final: str) -> None:
-    tmp = final + ".tmp"
-    pq.write_table(t, tmp)
-    _fsync_file(tmp)
-    os.replace(tmp, final)
-    _fsync_dir(os.path.dirname(final))
 
 
 def list_input_shards(paths: list[str] | str) -> list[dict]:
@@ -109,6 +100,23 @@ def resumable_shard_map(
     os.makedirs(out_dir, exist_ok=True)
     shards = list_input_shards(in_paths)
     done = finished_shards(out_dir) if resume else {}
+    # markers record WHICH input they cover; a resume over a changed
+    # input list (file added/removed/rewritten) silently shifts shard
+    # indices, so skipping by index alone would mix transforms of
+    # different inputs — refuse instead
+    for i, m in done.items():
+        if i >= len(shards) or (
+            m["path"] != shards[i]["path"]
+            or int(m["row_group"]) != int(shards[i]["row_group"])
+        ):
+            raise ValueError(
+                f"resumable_shard_map: marker {_marker_name(i)} covers "
+                f"({m['path']!r}, row_group={m['row_group']}) but the "
+                f"current input assigns shard {i} "
+                f"{'nothing' if i >= len(shards) else repr(shards[i])} — "
+                "the input set changed under a resume directory. Use a "
+                "fresh out_dir (or resume=False) to recompute."
+            )
     pending = [
         {"shard": i, **s} for i, s in enumerate(shards) if i not in done
     ]

@@ -548,9 +548,14 @@ def build_pipeline(spec: PipelineSpec):
         # default over-fragments small tables and every downstream sort
         # then coordinates near-empty partitions / emits zero-column
         # blocks (the measured r1 pitfall)
-        nb = sum(blocks_for(p) for p in src.paths)
+        try:
+            # directory / glob paths have no single parquet footer —
+            # fall back to Ray's own block sizing for those
+            nb = min(sum(blocks_for(p) for p in src.paths), 512)
+        except Exception:
+            nb = None
         ds = ray.data.read_parquet(
-            src.paths, columns=src.columns, override_num_blocks=min(nb, 512)
+            src.paths, columns=src.columns, override_num_blocks=nb
         )
     elif src.format == "csv":
         ds = ray.data.read_csv(src.paths)

@@ -749,9 +749,10 @@ def ngram_jaccard_pairs(
          inverted-index entries (shingle, id, set_len);
       2. shuffle on hash(shingle): within each shingle group emit one
          fixed-width co-occurrence row (doc_a, doc_b, len_a, len_b) per
-         doc pair — a shingle shared by > ``max_group_size`` docs is the
-         set analog of a stop-word and is DROPPED with a logged count
-         (same cap + recall trade as the minhash band cap);
+         doc pair — a shingle shared by > ``max_group_size`` docs RAISES
+         (not the minhash drop: here the count IS the intersection, so a
+         drop would corrupt surviving pairs' jaccard; run exact_dedup
+         first or raise the cap, accepting O(L²) rows per hot group);
       3. :func:`~dataflowkit_ray.stages.agg.hash_agg` on (doc_a, doc_b):
          COUNT of co-occurrence rows = |A ∩ B|, MIN(len) carries the set
          sizes; J = inter / (len_a + len_b - inter) >= t, vectorized.
@@ -818,18 +819,23 @@ def ngram_jaccard_pairs(
         glens = np.diff(np.append(starts, n))
         over = glens > max_group_size
         if over.any():
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "ngram_jaccard: dropped %d over-dense shingle group(s) "
-                "(> %d members; %d co-occurrence rows forfeited) — "
-                "shingles this common are non-discriminating",
-                int(over.sum()),
-                max_group_size,
-                int((glens[over] * (glens[over] - 1) // 2).sum()),
+            # unlike the minhash band cap (which only prunes CANDIDATES
+            # before an exact payload verify), here the co-occurrence
+            # count IS the intersection: dropping a group would
+            # understate the jaccard of every SURVIVING pair sharing it
+            # and silently violate the op's exactness contract — fail
+            # loudly instead
+            raise ValueError(
+                f"ngram_jaccard_pairs: {int(over.sum())} shingle group(s) "
+                f"exceed max_group_size={max_group_size} (largest "
+                f"{int(glens.max())} docs share one shingle). The exact "
+                "co-occurrence count cannot drop them without corrupting "
+                "surviving pairs' jaccard. Run exact_dedup first (identical "
+                "docs collapse to one), or raise max_group_size — emission "
+                "for a group of L docs is O(L^2) rows."
             )
         out_a, out_b, out_la, out_lb = [], [], [], []
-        multi = (glens > 1) & ~over
+        multi = glens > 1
         for s, L in zip(starts[multi], glens[multi]):
             mem = d[s : s + L]
             ml = sl[s : s + L]

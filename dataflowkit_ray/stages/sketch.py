@@ -386,7 +386,9 @@ def _cms_word_partial(t: pa.Table, depth: int, width: int) -> pa.Table:
     text = t["text"]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    words = pc.split_pattern(pc.fill_null(text, ""), pattern=" ").flatten()
+    # drop_null (not fill ""): DuckDB str_split(NULL) unnests to zero
+        # rows, so a filled "" word would diverge from the SQL replay
+        words = pc.split_pattern(text.drop_null(), pattern=" ").flatten()
     if len(words) == 0:
         return pa.table(
             {
@@ -496,7 +498,9 @@ def cms_heavy_hitters(
         text = t["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        words = pc.split_pattern(pc.fill_null(text, ""), pattern=" ").flatten()
+        # drop_null (not fill ""): DuckDB str_split(NULL) unnests to zero
+        # rows, so a filled "" word would diverge from the SQL replay
+        words = pc.split_pattern(text.drop_null(), pattern=" ").flatten()
         if len(words) == 0:
             return empty
         cms = ray.get(cms_ref)

@@ -117,3 +117,20 @@ def test_write_partitioned_resume_skips_committed(ray_session, tmp_path):
 
     back = read_committed(out).to_pandas()
     assert sorted(back.v.tolist()) == list(range(500))
+
+
+def test_shard_map_refuses_changed_input(ray_session, tmp_path):
+    """Markers pin (path, row_group); resuming over a different input
+    list must raise, not silently skip wrong shards."""
+    import pytest
+
+    p, _ = _make_input(tmp_path)
+    out = str(tmp_path / "out")
+    resumable_shard_map(p, out, _double_id_fn())
+    # sorts BEFORE p, shifting every shard index (a file appended AFTER
+    # p in sort order is a legitimate incremental extension and resumes)
+    other = tmp_path / "aaa"
+    other.mkdir()
+    p2, _ = _make_input(other, n_rows=50)
+    with pytest.raises(ValueError, match="input set changed"):
+        resumable_shard_map([p2, p], out, _double_id_fn())

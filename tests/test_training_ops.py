@@ -523,3 +523,20 @@ def test_multimodal_real_container_roundtrip():
 
     with pytest.raises(ValueError, match="truncated"):
         _decode_pgm(b"P5\n4 4\n255\n" + b"x" * 7)
+
+
+def test_ngram_jaccard_raises_on_overdense_shingle(ray_session):
+    """An over-dense shingle group must RAISE (a drop would corrupt the
+    co-occurrence counts of surviving pairs — unlike the minhash cap,
+    which only prunes candidates before an exact verify)."""
+    import ray
+
+    texts = ["common words here fluff %d" % i for i in range(40)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(40), pa.int64()), "text": texts}
+        )
+    )
+    with pytest.raises(Exception, match="max_group_size"):
+        ngram_jaccard_pairs(ds, threshold=0.5, n_buckets=4, max_group_size=16)\
+            .materialize()
