@@ -78,6 +78,18 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Pairs -> connected components -> canonical survivors: hash-min
+    label propagation over the minhash near-dup graph (cluster id = min
+    doc_id in the component; keep = doc_id == cluster_id).  The oracle
+    replays it as a recursive-CTE transitive closure over the same
+    exact-Jaccard pair set."""
+    from dataflowkit_ray.stages.dedup import dedup_clusters
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.8, k=64, bands=32)
+    return dedup_clusters(pairs, _docs(sf_dir))
+
+
 def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(_docs(sf_dir), max_hamming=3)
 
@@ -269,6 +281,7 @@ def q_multimodal_meta(sf_dir: str):
 TRAINING_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_dup_pairs": q_minhash_dup_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
@@ -386,6 +399,30 @@ TRAINING_ORACLES["token_counts"] = TOKEN_COUNT_SQL
 from dataflowkit_ray.stages.textstats import LANG_ID_SQL  # noqa: E402
 
 TRAINING_ORACLES["lang_id"] = LANG_ID_SQL
+
+# dedup_clusters: recursive-CTE transitive closure over the SAME exact
+# pair predicate as minhash_dup_pairs; cluster = min reachable doc_id
+TRAINING_ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE.strip().rstrip(')').rstrip()}
+),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+),
+e AS (SELECT da AS u, db AS v FROM p UNION ALL SELECT db AS u, da AS v FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+)
+SELECT d.doc_id,
+       CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT) AS cluster_id,
+       (d.doc_id = LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id))) AS keep
+FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+GROUP BY d.doc_id
+"""
 
 from dataflowkit_ray.stages.sketch import heavy_hitters_sql  # noqa: E402
 

@@ -891,3 +891,164 @@ def ngram_jaccard_pairs(
         )
 
     return counted.map_batches(finalize, batch_format="pyarrow")
+
+
+def dedup_clusters(pairs_ds, ids_ds, id_col: str = "doc_id", max_iters: int = 50):
+    """Near-dup PAIRS -> duplicate CLUSTERS -> canonical survivors.
+
+    The tail every real dedup pipeline needs after ``minhash_lsh_pairs``
+    / ``simhash_pairs`` / ``ngram_jaccard_pairs``: connected components
+    over the pair graph, cluster id = min doc_id in the component, keep
+    = (doc_id == cluster_id).  Transitively-linked near-dups (A~B, B~C,
+    A!~C) collapse to ONE survivor — pairwise filtering alone would keep
+    A and C.
+
+    Algorithm: iterative HASH-MIN label propagation (the standard
+    MapReduce CC, cf. Rastogi et al., "Finding Connected Components in
+    Map-Reduce", ICDE'13): every node starts labeled with itself; each
+    round, every node takes the min of its own and its neighbors'
+    labels (one bucket join + one hash_agg min — two bounded shuffles of
+    (int64, int64) rows); stop when no label changed.  Rounds needed =
+    component diameter — near-dup clusters are cliques/stars from a
+    banding key, so 2-3 rounds in practice.  Labels only ever DECREASE,
+    so the per-round driver check is one tiny aggregate (sum of labels,
+    strictly decreasing until fixpoint) — control plane, not data.
+
+    Per-iteration ``materialize()`` on the label table is deliberate:
+    labels are (int64, int64) per doc — 16 B/doc, object-store-sized at
+    any corpus — and without it each round would re-execute the whole
+    prior lineage (the measured branched-lineage pitfall).
+
+    ``pairs_ds``: (doc_a, doc_b) — extra columns ignored.
+    ``ids_ds``:   one row per document (singletons keep themselves).
+    Output: (doc_id, cluster_id, keep) sorted nowhere (sort at the sink).
+    """
+    import logging
+
+    from dataflowkit_ray.stages.join import bucket_equi_join
+
+    # Ray's sort picks range boundaries by SAMPLING; on the small keyed
+    # sorts of this iterative loop (few distinct _bucket values per
+    # round) sampled boundaries can collide and the empty partitions
+    # surface as zero-column blocks plus a per-bundle schema warning.
+    # The blocks are normalized away by ``retype`` + ``repartition``
+    # below (final output is schema-uniform; value-exactness is DuckDB-
+    # oracle-gated), so the transient executor warning carries no
+    # signal here — scope-filter it for the duration of the loop only.
+    class _EmptySortBundleFilter(logging.Filter):
+        def filter(self, rec):
+            return "RefBundle with a different schema" not in rec.getMessage()
+
+    _exec_logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["doc_a"], pa.int64())
+        b = pc.cast(t["doc_b"], pa.int64())
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b]),
+                "nbr": pa.concat_arrays([b, a]),
+            }
+        )
+
+    def to_labels(t: pa.Table) -> pa.Table:
+        i = pc.cast(t[id_col], pa.int64())
+        return pa.table({"node": i, "label": i})
+
+    labels = ids_ds.map_batches(to_labels, batch_format="pyarrow").materialize()
+    # volume-derived shuffle width; block counts are REPARTITIONED to nb
+    # everywhere a shuffle consumes them — sort inputs with more blocks
+    # than distinct bucket values emit zero-column empty partitions (the
+    # measured r1 pitfall)
+    nb = int(min(64, max(4, labels.count() // 20_000 + 4)))
+    # each join/agg consumes (edges + labels) or (nbr_labels + labels):
+    # keep every persistent table at nb//2 blocks so no shuffle ever sees
+    # more input blocks than distinct bucket values
+    half = max(1, nb // 2)
+    labels = labels.repartition(half).materialize()
+    edges = (
+        pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+        .repartition(half)
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    def label_sum(lds) -> int:
+        return int(lds.sum("label"))
+
+    prev_sum = label_sum(labels)
+    _filter = _EmptySortBundleFilter()
+    _exec_logger.addFilter(_filter)
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        # neighbor labels: edges (node, nbr) x labels (node, label) on
+        # node -> candidate (nbr, label); union own labels; min per node
+        nbr_labels = bucket_equi_join(
+            edges, labels, on="node", n_buckets=nb
+        ).map_batches(
+            lambda t: pa.table({"node": t["nbr"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        def retype(t: pa.Table) -> pa.Table:
+            # empty sort partitions surface as ZERO-COLUMN blocks (Ray
+            # internal); normalize them to the typed schema so every
+            # downstream RefBundle agrees
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "label": pa.array([], pa.int64()),
+                    }
+                )
+            return t.select(["node", "label"])
+
+        labels = (
+            hash_agg(
+                nbr_labels.union(labels).repartition(nb),
+                ("node",),
+                [("label", "min", "label")],
+                n_buckets=nb,
+            )
+            .map_batches(retype, batch_format="pyarrow")
+            .repartition(half)
+            .materialize()
+        )
+        cur = label_sum(labels)
+        if cur == prev_sum:  # labels are nonincreasing; equal sum = fixpoint
+            break
+        prev_sum = cur
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t["node"],
+                "cluster_id": t["label"],
+                "keep": pc.equal(t["node"], t["label"]),
+            }
+        )
+
+    out = labels.map_batches(finalize, batch_format="pyarrow").materialize()
+    # scrub the zero-column empty blocks the loop's sampled sorts can
+    # leave behind, so the CALLER's consumption streams schema-uniform
+    # bundles: per-block row counts via tiny tasks (refs only on the
+    # driver — block count is O(nb), not O(rows))
+    import ray as _ray
+
+    @_ray.remote
+    def _nrows(block) -> int:
+        return len(block)
+
+    refs = out.to_arrow_refs()
+    counts = _ray.get([_nrows.remote(r) for r in refs])
+    keep_refs = [r for r, c in zip(refs, counts) if c > 0]
+    _exec_logger.removeFilter(_filter)
+    import ray.data as _rd
+
+    return _rd.from_arrow_refs(keep_refs if keep_refs else refs[:1])

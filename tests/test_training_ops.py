@@ -540,3 +540,34 @@ def test_ngram_jaccard_raises_on_overdense_shingle(ray_session):
     with pytest.raises(Exception, match="max_group_size"):
         ngram_jaccard_pairs(ds, threshold=0.5, n_buckets=4, max_group_size=16)\
             .materialize()
+
+
+def test_dedup_clusters_transitive_chains(ray_session):
+    """Hash-min CC must collapse transitive chains (A~B, B~C with A!~C)
+    to one survivor, keep singletons, and converge on a long path
+    (diameter >> 2 exercises the iteration loop, not just one round)."""
+    import ray
+
+    from dataflowkit_ray.stages.dedup import dedup_clusters
+
+    chain = list(range(10, 20))  # path 10-11-...-19, diameter 9
+    pairs = [(1, 2), (2, 3)] + list(zip(chain[:-1], chain[1:]))
+    pairs_t = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    ids_t = pa.table({"doc_id": pa.array(range(25), pa.int64())})
+    out = (
+        dedup_clusters(ray.data.from_arrow(pairs_t), ray.data.from_arrow(ids_t))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[[1, 2, 3], "cluster_id"].tolist() == [1, 1, 1]
+    assert (out.loc[chain, "cluster_id"] == 10).all()
+    singles = [i for i in range(25) if i not in {1, 2, 3, *chain}]
+    assert (out.loc[singles, "cluster_id"] == singles).all()
+    assert out.keep.sum() == 25 - 2 - (len(chain) - 1)
+    assert len(out) == 25
