@@ -21,8 +21,16 @@ def test_instrumented_stage_reports(ray_session):
     assert n == 2000
     import time
 
-    time.sleep(0.5)  # fire-and-forget pushes drain
-    rep = ray.get(actor.report.remote())
+    # fire-and-forget pushes drain asynchronously; a fixed 0.5 s sleep
+    # flaked when the box was loaded from earlier tests — poll instead
+    deadline = time.monotonic() + 15
+    while True:
+        rep = ray.get(actor.report.remote())
+        if rep.get("double", {}).get("rows_in", 0) >= 1000 or (
+            time.monotonic() > deadline
+        ):
+            break
+        time.sleep(0.2)
     assert rep["double"]["rows_in"] == 1000
     assert rep["double"]["rows_out"] == 2000
     assert rep["double"]["batches"] >= 1
