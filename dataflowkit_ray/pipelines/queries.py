@@ -660,6 +660,60 @@ def q_streaming_dedup(sf_dir: str):
     return ExactlyOnceSink(f"{wd}/dedup").read_committed()
 
 
+def q_range_join_events(sf_dir: str):
+    """Range (interval) join: every event joins each of 48 OVERLAPPING
+    time windows containing its timestamp (2x-overlap tiling of the
+    observed ts span, derived from parquet row-group statistics — a
+    metadata-only pass).  Broadcast elementary-segment interval index,
+    vectorized probe per batch, no shuffle; oracle = SQL BETWEEN join
+    over the identically-derived window table."""
+    from datetime import datetime, timedelta
+
+    import pyarrow.parquet as pq
+
+    from dataflowkit_ray.stages.join import range_join
+
+    path = f"{sf_dir}/events.parquet"
+    md = pq.read_metadata(path)
+    ts_i = md.schema.names.index("ts")
+    mins, maxs = [], []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(ts_i).statistics
+        mins.append(st.min)
+        maxs.append(st.max)
+    epoch = datetime(1970, 1, 1)
+    us = timedelta(microseconds=1)
+    tmin = (min(mins) - epoch) // us
+    tmax = (max(maxs) - epoch) // us
+    span = tmax - tmin + 1
+    n_w = 48
+    ivs = pa.table(
+        {
+            "window_id": pa.array(range(n_w), pa.int64()),
+            "lo": pa.array([tmin + (i * span) // n_w for i in range(n_w)], pa.int64()),
+            "hi": pa.array(
+                [tmin + ((i + 2) * span) // n_w - 1 for i in range(n_w)], pa.int64()
+            ),
+        }
+    )
+    import ray.data
+
+    from dataflowkit_ray.tokenize import blocks_for
+
+    ds = ray.data.read_parquet(
+        path, columns=["event_id", "ts"], override_num_blocks=blocks_for(path)
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return range_join(ds, ivs, "ts_us")
+
+
 QUERIES = {
     "token_table": q_token_table,
     "tumbling_agg": q_tumbling_agg,
@@ -675,6 +729,7 @@ QUERIES = {
     "streaming_windowed": q_streaming_windowed,
     "streaming_sessions": q_streaming_sessions,
     "streaming_dedup": q_streaming_dedup,
+    "range_join_events": q_range_join_events,
     "filtered_read": q_filtered_read,
     "drop_short": q_drop_short,
     "streaming_funnel": q_streaming_funnel,
@@ -766,6 +821,22 @@ ORACLES["streaming_sessions"] = ORACLES["session_events"]
 from dataflowkit_ray.pipelines.training import TRAINING_ORACLES as _TRAINING_ORACLES
 
 ORACLES["streaming_dedup"] = _TRAINING_ORACLES["exact_dedup"]
+
+ORACLES["range_join_events"] = """
+WITH b AS (
+  SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS tmin,
+         CAST(epoch_us(MAX(ts)) AS BIGINT) AS tmax
+  FROM events
+),
+w AS (
+  SELECT CAST(t.i AS BIGINT) AS window_id,
+         b.tmin + (CAST(t.i AS BIGINT) * (b.tmax - b.tmin + 1)) // 48 AS lo,
+         b.tmin + ((CAST(t.i AS BIGINT) + 2) * (b.tmax - b.tmin + 1)) // 48 - 1 AS hi
+  FROM b, (SELECT unnest(generate_series(0, 47)) AS i) t
+)
+SELECT e.event_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us, w.window_id
+FROM events e JOIN w ON CAST(epoch_us(e.ts) AS BIGINT) BETWEEN w.lo AND w.hi
+"""
 ORACLES["filtered_read"] = """
     SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, n_chars
     FROM documents WHERE lang = 'en' AND n_chars > 200

@@ -341,3 +341,111 @@ def semi_join_route(parent_ds, key_col: str = "doc_id"):
     rows — intermediate hops exist solely to feed keys to the next stage
     (``/root/reference/scrape/scrape.go:538-545``)."""
     return parent_ds.select_columns([key_col])
+
+
+# ------------------------------------------------------------ range join
+
+
+class IntervalIndex:
+    """Elementary-segment decomposition of a set of CLOSED int64
+    intervals [lo, hi] — the vectorized broadcast side of
+    :func:`range_join`.
+
+    Boundaries B = sorted unique of all {lo, hi+1}; the domain splits
+    into segments [B_j, B_{j+1}) each covered by a FIXED set of
+    intervals, precomputed as a flat CSR (segment -> interval ids).
+    Probing a value v is then one ``searchsorted`` + one slice — exact
+    for arbitrary OVERLAPPING intervals, O(log M + matches) per value,
+    no per-row Python.  Build cost O(M log M + overlap mass), paid once
+    and shipped via ``ray.put``.
+    """
+
+    def __init__(self, lo: np.ndarray, hi: np.ndarray):
+        lo = np.asarray(lo, dtype=np.int64)
+        hi = np.asarray(hi, dtype=np.int64)
+        if len(lo) != len(hi):
+            raise ValueError("lo/hi length mismatch")
+        if (hi < lo).any():
+            raise ValueError("interval with hi < lo")
+        self.n_intervals = len(lo)
+        B = np.unique(np.concatenate([lo, hi + 1]))
+        s0 = np.searchsorted(B, lo)
+        s1 = np.searchsorted(B, hi + 1)
+        counts = s1 - s0
+        total = int(counts.sum())
+        iv = np.repeat(np.arange(self.n_intervals, dtype=np.int64), counts)
+        seg = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        ) + np.repeat(s0, counts)
+        order = np.argsort(seg, kind="stable")  # stable: interval order kept
+        self.bounds = B
+        self.flat_ids = iv[order]
+        # CSR pointers over segments 0..len(B)-2
+        self.seg_ptr = np.searchsorted(seg[order], np.arange(len(B)), side="left")
+
+    def probe(self, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(row_indices, interval_ids) for every containment match."""
+        v = np.asarray(values, dtype=np.int64)
+        j = np.searchsorted(self.bounds, v, side="right") - 1
+        valid = (j >= 0) & (j < len(self.bounds) - 1)
+        j = np.where(valid, j, 0)
+        start = self.seg_ptr[j]
+        cnt = np.where(valid, self.seg_ptr[j + 1] - start, 0)
+        rows = np.repeat(np.arange(len(v), dtype=np.int64), cnt)
+        flat_pos = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        ) + np.repeat(start, cnt)
+        return rows, self.flat_ids[flat_pos]
+
+
+def range_join(
+    ds,
+    intervals: pa.Table,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    n_cpus: float = 0.5,
+):
+    """Interval (range) join: every left row joins each interval row
+    whose CLOSED range [lo, hi] contains ``value_col`` — the non-equi
+    join the brief names alongside the as-of join (e.g. timestamps vs
+    maintenance windows, IPs vs CIDR ranges, prices vs brackets).
+
+    Shape: the interval table is the SMALL side (a lookup set) — built
+    into an :class:`IntervalIndex` once, ``ray.put`` once, probed
+    vectorized per batch; the left stream never shuffles.  Output =
+    left columns + the interval's non-(lo,hi) payload columns.  For an
+    interval side too large to broadcast, partition the VALUE DOMAIN
+    into key ranges, replicate each interval to every range it overlaps
+    (bounded by overlap mass), and run this same probe per partition —
+    the documented scale path, same trade as broadcast-vs-bucket equi
+    joins.
+
+    Values and bounds must be integer-valued (int64 domain — timestamps
+    in micros, ids, cents); closed-interval semantics match SQL
+    ``BETWEEN``.
+    """
+    import ray
+
+    lo = intervals[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = intervals[hi_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payload_cols = [c for c in intervals.column_names if c not in (lo_col, hi_col)]
+    payload = intervals.select(payload_cols)
+    idx_ref = ray.put(IntervalIndex(lo, hi))
+    payload_ref = ray.put(payload)
+
+    def probe_batch(t: pa.Table) -> pa.Table:
+        idx = ray.get(idx_ref)
+        pay = ray.get(payload_ref)
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        rows, ivs = idx.probe(
+            pc.cast(v, pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        out = t.take(pa.array(rows))
+        for c in pay.column_names:
+            out = out.append_column(c, pay[c].take(pa.array(ivs)))
+        return out
+
+    return ds.map_batches(probe_batch, batch_format="pyarrow")

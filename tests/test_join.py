@@ -152,3 +152,44 @@ def test_bucket_equi_join_equals_dataset_join(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_range_join_matches_brute_force(ray_session):
+    """IntervalIndex over OVERLAPPING/touching/gapped closed intervals
+    must equal the all-pairs BETWEEN check, including multi-match rows,
+    boundary values and values outside every interval."""
+    import numpy as np
+    import ray
+
+    from dataflowkit_ray.stages.join import IntervalIndex, range_join
+
+    rng = np.random.default_rng(11)
+    lo = rng.integers(0, 900, size=40).astype(np.int64)
+    hi = lo + rng.integers(0, 120, size=40).astype(np.int64)
+    vals = rng.integers(-50, 1100, size=500).astype(np.int64)
+
+    idx = IntervalIndex(lo, hi)
+    rows, ivs = idx.probe(vals)
+    got = sorted(zip(rows.tolist(), ivs.tolist()))
+    exp = sorted(
+        (r, i)
+        for r, v in enumerate(vals)
+        for i in range(40)
+        if lo[i] <= v <= hi[i]
+    )
+    assert got == exp and len(exp) > 500  # multi-matches exercised
+
+    # the Dataset operator: payload columns gathered per match
+    ivs_t = pa.table(
+        {
+            "tag": pa.array([f"w{i}" for i in range(40)], pa.string()),
+            "lo": pa.array(lo),
+            "hi": pa.array(hi),
+        }
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"rid": pa.array(range(500), pa.int64()), "v": pa.array(vals)})
+    )
+    out = range_join(ds, ivs_t, "v").to_pandas()
+    got2 = sorted(zip(out.rid, out.tag))
+    assert got2 == sorted((r, f"w{i}") for r, i in exp)
