@@ -103,6 +103,7 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         "quantiles_sketch",
         "approx_distinct",
         "asof_profile",
+        "range_join_events",
         "lineitem_agg",
         "top_orders",
         "streaming_windowed",
