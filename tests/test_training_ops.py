@@ -571,3 +571,33 @@ def test_dedup_clusters_transitive_chains(ray_session):
     assert (out.loc[singles, "cluster_id"] == singles).all()
     assert out.keep.sum() == 25 - 2 - (len(chain) - 1)
     assert len(out) == 25
+
+
+def test_dedup_clusters_modes_agree(ray_session):
+    """The actor-BSP path (default) and the Dataset formulation must
+    produce identical components on a random graph."""
+    import ray
+
+    from dataflowkit_ray.stages.dedup import dedup_clusters
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 200, size=120).astype("int64")
+    b = rng.integers(0, 200, size=120).astype("int64")
+    m = a != b
+    pairs_t = pa.table({"doc_a": pa.array(a[m]), "doc_b": pa.array(b[m])})
+    ids_t = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+
+    outs = {}
+    for mode in ("actors", "dataset"):
+        outs[mode] = (
+            dedup_clusters(
+                ray.data.from_arrow(pairs_t),
+                ray.data.from_arrow(ids_t),
+                mode=mode,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert outs["actors"].equals(outs["dataset"])
+    assert outs["actors"].keep.sum() < 200  # graph actually merged nodes
