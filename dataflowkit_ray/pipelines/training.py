@@ -403,8 +403,7 @@ TRAINING_ORACLES["lang_id"] = LANG_ID_SQL
 # dedup_clusters: recursive-CTE transitive closure over the SAME exact
 # pair predicate as minhash_dup_pairs; cluster = min reachable doc_id
 TRAINING_ORACLES["dedup_clusters"] = f"""
-WITH RECURSIVE {_SHINGLES_CTE.strip().rstrip(')').rstrip()}
-),
+WITH RECURSIVE {_SHINGLES_CTE.strip()},
 p AS (
   SELECT a.doc_id AS da, b.doc_id AS db
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id

@@ -935,6 +935,10 @@ def dedup_clusters(
     ``ids_ds``:   one row per document (singletons keep themselves).
     Output: (doc_id, cluster_id, keep) sorted nowhere (sort at the sink).
     """
+    # project the universe stream to its id column up front: callers
+    # pass whole document tables, and the full text payload would
+    # otherwise transit the object store just to extract doc_id
+    ids_ds = ids_ds.select_columns([id_col])
     if mode == "actors":
         return _cc_actors(pairs_ds, ids_ds, id_col, max_iters, n_shards)
     if mode != "dataset":
@@ -1078,6 +1082,22 @@ def _cc_dataset(pairs_ds, ids_ds, id_col: str, max_iters: int):
         .repartition(half)
         .materialize()
     )
+    # the ids stream defines the node universe (same contract as the
+    # actors path): edges touching unknown endpoints would otherwise
+    # mint label rows for non-existent ids and transitively merge
+    # components THROUGH them — semi-restrict both endpoints
+    uni_node = labels.map_batches(
+        lambda t: pa.table({"node": t["node"]}), batch_format="pyarrow"
+    )
+    uni_nbr = labels.map_batches(
+        lambda t: pa.table({"nbr": t["node"]}), batch_format="pyarrow"
+    )
+    edges = bucket_equi_join(edges, uni_node, on="node", n_buckets=nb)
+    edges = (
+        bucket_equi_join(edges, uni_nbr, on="nbr", n_buckets=nb)
+        .repartition(half)
+        .materialize()
+    )
     n_edges = edges.count()
 
     def label_sum(lds) -> int:
@@ -1086,70 +1106,69 @@ def _cc_dataset(pairs_ds, ids_ds, id_col: str, max_iters: int):
     prev_sum = label_sum(labels)
     _filter = _EmptySortBundleFilter()
     _exec_logger.addFilter(_filter)
-    for _ in range(max_iters):
-        if n_edges == 0:
-            break
-        # neighbor labels: edges (node, nbr) x labels (node, label) on
-        # node -> candidate (nbr, label); union own labels; min per node
-        nbr_labels = bucket_equi_join(
-            edges, labels, on="node", n_buckets=nb
-        ).map_batches(
-            lambda t: pa.table({"node": t["nbr"], "label": t["label"]}),
-            batch_format="pyarrow",
-        )
-        def retype(t: pa.Table) -> pa.Table:
-            # empty sort partitions surface as ZERO-COLUMN blocks (Ray
-            # internal); normalize them to the typed schema so every
-            # downstream RefBundle agrees
-            if t.num_columns == 0 or len(t) == 0:
-                return pa.table(
-                    {
-                        "node": pa.array([], pa.int64()),
-                        "label": pa.array([], pa.int64()),
-                    }
-                )
-            return t.select(["node", "label"])
-
-        labels = (
-            hash_agg(
-                nbr_labels.union(labels).repartition(nb),
-                ("node",),
-                [("label", "min", "label")],
-                n_buckets=nb,
+    try:
+        for _ in range(max_iters):
+            if n_edges == 0:
+                break
+            # neighbor labels: edges (node, nbr) x labels (node, label)
+            # on node -> candidate (nbr, label); union own labels; min
+            # per node
+            nbr_labels = bucket_equi_join(
+                edges, labels, on="node", n_buckets=nb
+            ).map_batches(
+                lambda t: pa.table({"node": t["nbr"], "label": t["label"]}),
+                batch_format="pyarrow",
             )
-            .map_batches(retype, batch_format="pyarrow")
-            .repartition(half)
-            .materialize()
-        )
-        cur = label_sum(labels)
-        if cur == prev_sum:  # labels are nonincreasing; equal sum = fixpoint
-            break
-        prev_sum = cur
 
-    def finalize(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                id_col: t["node"],
-                "cluster_id": t["label"],
-                "keep": pc.equal(t["node"], t["label"]),
-            }
-        )
+            def retype(t: pa.Table) -> pa.Table:
+                # empty sort partitions surface as ZERO-COLUMN blocks
+                # (Ray internal); normalize them to the typed schema so
+                # every downstream RefBundle agrees
+                if t.num_columns == 0 or len(t) == 0:
+                    return pa.table(
+                        {
+                            "node": pa.array([], pa.int64()),
+                            "label": pa.array([], pa.int64()),
+                        }
+                    )
+                return t.select(["node", "label"])
 
-    out = labels.map_batches(finalize, batch_format="pyarrow").materialize()
-    # scrub the zero-column empty blocks the loop's sampled sorts can
-    # leave behind, so the CALLER's consumption streams schema-uniform
-    # bundles: per-block row counts via tiny tasks (refs only on the
-    # driver — block count is O(nb), not O(rows))
-    import ray as _ray
+            labels = (
+                hash_agg(
+                    nbr_labels.union(labels).repartition(nb),
+                    ("node",),
+                    [("label", "min", "label")],
+                    n_buckets=nb,
+                )
+                .map_batches(retype, batch_format="pyarrow")
+                .repartition(half)
+                .materialize()
+            )
+            cur = label_sum(labels)
+            if cur == prev_sum:  # nonincreasing; equal sum = fixpoint
+                break
+            prev_sum = cur
 
-    @_ray.remote
-    def _nrows(block) -> int:
-        return len(block)
+        out = labels.map_batches(
+            _cc_finalize_fn(id_col), batch_format="pyarrow"
+        ).materialize()
+        # scrub the zero-column empty blocks the loop's sampled sorts
+        # can leave behind, so the CALLER's consumption streams
+        # schema-uniform bundles: per-block row counts via tiny tasks
+        # (refs only on the driver — block count is O(nb), not O(rows))
+        import ray as _ray
 
-    refs = out.to_arrow_refs()
-    counts = _ray.get([_nrows.remote(r) for r in refs])
-    keep_refs = [r for r, c in zip(refs, counts) if c > 0]
-    _exec_logger.removeFilter(_filter)
-    import ray.data as _rd
+        @_ray.remote
+        def _nrows(block) -> int:
+            return len(block)
 
-    return _rd.from_arrow_refs(keep_refs if keep_refs else refs[:1])
+        refs = out.to_arrow_refs()
+        counts = _ray.get([_nrows.remote(r) for r in refs])
+        keep_refs = [r for r, c in zip(refs, counts) if c > 0]
+        import ray.data as _rd
+
+        return _rd.from_arrow_refs(keep_refs if keep_refs else refs[:1])
+    finally:
+        # a failure mid-loop must not leak the filter: it would
+        # permanently mute a diagnostic the rest of the engine relies on
+        _exec_logger.removeFilter(_filter)

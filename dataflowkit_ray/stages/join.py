@@ -367,6 +367,12 @@ class IntervalIndex:
             raise ValueError("lo/hi length mismatch")
         if (hi < lo).any():
             raise ValueError("interval with hi < lo")
+        if len(hi) and int(hi.max()) == np.iinfo(np.int64).max:
+            # hi+1 would wrap to INT64_MIN and corrupt the boundary set
+            raise OverflowError(
+                "interval hi == INT64_MAX unsupported (closed-interval "
+                "decomposition needs hi+1); use INT64_MAX-1 as the open bound"
+            )
         self.n_intervals = len(lo)
         B = np.unique(np.concatenate([lo, hi + 1]))
         s0 = np.searchsorted(B, lo)
@@ -386,6 +392,8 @@ class IntervalIndex:
     def probe(self, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(row_indices, interval_ids) for every containment match."""
         v = np.asarray(values, dtype=np.int64)
+        if self.n_intervals == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
         j = np.searchsorted(self.bounds, v, side="right") - 1
         valid = (j >= 0) & (j < len(self.bounds) - 1)
         j = np.where(valid, j, 0)
@@ -448,4 +456,4 @@ def range_join(
             out = out.append_column(c, pay[c].take(pa.array(ivs)))
         return out
 
-    return ds.map_batches(probe_batch, batch_format="pyarrow")
+    return ds.map_batches(probe_batch, batch_format="pyarrow", num_cpus=n_cpus)

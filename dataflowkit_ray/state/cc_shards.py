@@ -81,10 +81,18 @@ class CCShard:
             v = np.concatenate([c[1] for c in self._edge_chunks])
             order = np.argsort(u, kind="stable")
             u, v = u[order], v[order]
-            pos = np.searchsorted(self.nodes, u)
             # edges whose endpoint is not a known node are dropped (the
-            # ids stream defines the universe, as in the Dataset path)
-            ok = (pos < len(self.nodes)) & (self.nodes[np.minimum(pos, len(self.nodes) - 1)] == u)
+            # ids stream defines the universe, as in the Dataset path);
+            # guard the empty-shard case — fancy-indexing an empty node
+            # array with the clamped position crashes
+            if len(self.nodes) == 0:
+                ok = np.zeros(len(u), dtype=bool)
+                pos = np.zeros(len(u), dtype=np.int64)
+            else:
+                pos = np.searchsorted(self.nodes, u)
+                ok = (pos < len(self.nodes)) & (
+                    self.nodes[np.minimum(pos, len(self.nodes) - 1)] == u
+                )
             u, v, pos = u[ok], v[ok], pos[ok]
             counts = np.bincount(pos, minlength=len(self.nodes))
             self.adj_ptr = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
@@ -145,8 +153,12 @@ class CCShard:
             self.inbox = []
             v = np_int64(t["node"])
             lab = np_int64(t["label"])
+            if len(self.nodes) == 0:
+                return 0
             pos = np.searchsorted(self.nodes, v)
-            ok = (pos < len(self.nodes)) & (self.nodes[np.minimum(pos, len(self.nodes) - 1)] == v)
+            ok = (pos < len(self.nodes)) & (
+                self.nodes[np.minimum(pos, len(self.nodes) - 1)] == v
+            )
             v_pos, lab = pos[ok], lab[ok]
             if len(v_pos):
                 order = np.lexsort((lab, v_pos))
@@ -156,7 +168,7 @@ class CCShard:
                 np.minimum.at(  # first per node is its min proposal
                     self.labels, v_pos[first], lab[first]
                 )
-        return int(self.labels.sum())
+        return int(self.labels.sum()) if len(self.labels) else 0
 
     def emit(self) -> bytes:
         return table_to_bytes(

@@ -601,3 +601,36 @@ def test_dedup_clusters_modes_agree(ray_session):
         )
     assert outs["actors"].equals(outs["dataset"])
     assert outs["actors"].keep.sum() < 200  # graph actually merged nodes
+
+
+def test_dedup_clusters_unknown_endpoints_dropped(ray_session):
+    """The ids stream defines the node universe: edges touching ids
+    absent from it must be DROPPED in both modes — not mint output rows
+    for non-existent docs, and not transitively merge components
+    through them."""
+    import ray
+
+    from dataflowkit_ray.stages.dedup import dedup_clusters
+
+    pairs_t = pa.table(
+        {
+            "doc_a": pa.array([1, 99, 5], pa.int64()),
+            "doc_b": pa.array([99, 2, 6], pa.int64()),
+        }
+    )
+    ids_t = pa.table({"doc_id": pa.array(range(10), pa.int64())})
+    for mode in ("actors", "dataset"):
+        out = (
+            dedup_clusters(
+                ray.data.from_arrow(pairs_t),
+                ray.data.from_arrow(ids_t),
+                mode=mode,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert len(out) == 10 and 99 not in out.index, mode
+        # 1 and 2 must NOT merge through the unknown node 99
+        assert out.loc[1, "cluster_id"] == 1 and out.loc[2, "cluster_id"] == 2, mode
+        assert out.loc[6, "cluster_id"] == 5, mode  # real edge still works
