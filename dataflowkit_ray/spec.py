@@ -84,7 +84,7 @@ class DedupSpec:
     stream (``source.tokenize=False``) and replaces the analytic tail —
     exclusive with pattern/join/window/aggregates."""
 
-    kind: str = "exact"  # exact | minhash | ngram | simhash
+    kind: str = "exact"  # exact | minhash | ngram | simhash | cluster
     threshold: float = 0.8  # minhash/ngram Jaccard threshold
     max_hamming: int = 3  # simhash distance bound
     text_col: str = "text"
@@ -342,9 +342,9 @@ def validate_spec(spec: PipelineSpec) -> None:
             if set_kinds != 1:
                 raise SpecError("each step sets exactly one of literal/any_of/residue")
     if spec.dedup:
-        if spec.dedup.kind not in ("exact", "minhash", "ngram", "simhash"):
+        if spec.dedup.kind not in ("exact", "minhash", "ngram", "simhash", "cluster"):
             raise SpecError(f"unknown dedup kind {spec.dedup.kind!r}")
-        if spec.dedup.kind in ("minhash", "ngram") and not (
+        if spec.dedup.kind in ("minhash", "ngram", "cluster") and not (
             0.0 < spec.dedup.threshold <= 1.0
         ):
             raise SpecError("dedup threshold must lie in (0, 1]")
@@ -602,6 +602,7 @@ def build_pipeline(spec: PipelineSpec):
             simhash_pairs,
         )
 
+
         dd = spec.dedup
         if dd.kind == "exact":
             return exact_dedup(ds, text_col=dd.text_col, id_col=dd.id_col)
@@ -613,6 +614,13 @@ def build_pipeline(spec: PipelineSpec):
             return ngram_jaccard_pairs(
                 ds, threshold=dd.threshold, text_col=dd.text_col, id_col=dd.id_col
             )
+        if dd.kind == "cluster":
+            from dataflowkit_ray.stages.dedup import dedup_clusters
+
+            pairs = minhash_lsh_pairs(
+                ds, threshold=dd.threshold, text_col=dd.text_col, id_col=dd.id_col
+            )
+            return dedup_clusters(pairs, ds, id_col=dd.id_col)
         return simhash_pairs(
             ds, max_hamming=dd.max_hamming, text_col=dd.text_col, id_col=dd.id_col
         )

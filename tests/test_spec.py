@@ -826,3 +826,23 @@ def test_spec_streaming_dedup_mode(ray_session, tmp_path):
                 ),
             )
         )
+
+
+def test_spec_dedup_cluster_kind(ray_session):
+    """dedup kind=cluster from JSON == the direct pairs->CC call."""
+    from dataflowkit_ray.spec import DedupSpec
+
+    spec = PipelineSpec(
+        name="cl",
+        source=SourceSpec(
+            paths=[f"{SF}/documents.parquet"], tokenize=False,
+            columns=["doc_id", "text"],
+        ),
+        dedup=DedupSpec(kind="cluster", threshold=0.8),
+    )
+    spec = PipelineSpec.from_json(spec.to_json())
+    got = build_pipeline(spec).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    from dataflowkit_ray.pipelines.training import q_dedup_clusters
+
+    exp = q_dedup_clusters(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(exp)
