@@ -975,6 +975,10 @@ def _cc_actors(pairs_ds, ids_ds, id_col: str, max_iters: int, n_shards: int):
     def route(t: pa.Table, kind: str, handles) -> int:
         """Data plane: bucket one block's rows by owner shard and ship
         Arrow blobs straight to the actors — the driver sees acks."""
+        if len(t) == 0 or t.num_columns == 0:
+            # upstream sampled sorts intermittently emit ZERO-COLUMN
+            # empty blocks (Ray internal); nothing to route
+            return 0
         if kind == "nodes":
             key = t[id_col]
             out_cols = {"node": pc.cast(key, pa.int64())}
