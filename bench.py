@@ -99,6 +99,7 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         "lang_id",
         "resumable_tokens",
         "heavy_hitters",
+        "corpus_prep",
         "quantiles",
         "quantiles_sketch",
         "approx_distinct",

@@ -242,6 +242,17 @@ def q_heavy_hitters(sf_dir: str):
     return cms_heavy_hitters(_docs(sf_dir), _docs(sf_dir), k=20)
 
 
+def q_corpus_prep(sf_dir: str):
+    """END-TO-END corpus prep composition (lang gate -> quality gate ->
+    PII redact -> exact dedup -> token budget): all row-local stages
+    fused into one map_batches pass, then one aggregate + one join
+    exchange.  The composition itself is hash-gated — chaining is where
+    silent semantic drift hides."""
+    from dataflowkit_ray.pipelines.corpus import corpus_prep
+
+    return corpus_prep(_docs(sf_dir))
+
+
 def q_resumable_tokens(sf_dir: str):
     """Token counting pushed through the RESUMABLE shard sink: one task
     per input row-group writes an atomic part + done-marker, the result
@@ -295,6 +306,7 @@ TRAINING_QUERIES = {
     "lang_id": q_lang_id,
     "heavy_hitters": q_heavy_hitters,
     "resumable_tokens": q_resumable_tokens,
+    "corpus_prep": q_corpus_prep,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
 }
@@ -429,6 +441,10 @@ TRAINING_ORACLES["heavy_hitters"] = heavy_hitters_sql(20)
 # same SQL: the resumable sink must be a lossless round-trip of the
 # identical transform
 TRAINING_ORACLES["resumable_tokens"] = TOKEN_COUNT_SQL
+
+from dataflowkit_ray.pipelines.corpus import CORPUS_PREP_SQL  # noqa: E402
+
+TRAINING_ORACLES["corpus_prep"] = CORPUS_PREP_SQL
 
 # multimodal_meta: the synthesize -> REAL container decode -> every-30th
 # frame sample chain is a pure function of (doc_id, utf-8 byte length),
