@@ -103,6 +103,8 @@ class TextSpec:
     * tokens      — whitespace, subword-regex and chars/4 token counts
     * quality     — Gopher-style repetition/format gates
     * fingerprint — FNV content hash per document
+    * corpus      — the full corpus-prep composition (lang gate ->
+      quality gate -> PII redact -> exact dedup -> token budget)
     """
 
     kind: str = "stats"
@@ -295,7 +297,7 @@ class PipelineSpec:
 _SOURCE_FORMATS = ("parquet", "csv", "json")
 _SINK_FORMATS = ("parquet", "csv", "json", "jsonl", "xml", "xlsx")
 _WINDOW_KINDS = ("tumbling", "sliding", "session")
-_TEXT_KINDS = ("stats", "lang_id", "pii", "tokens", "quality", "fingerprint")
+_TEXT_KINDS = ("stats", "lang_id", "pii", "tokens", "quality", "fingerprint", "corpus")
 _AGG_FNS = ("sum", "count", "min", "max", "mean")
 
 
@@ -626,6 +628,7 @@ def build_pipeline(spec: PipelineSpec):
         )
 
     if spec.text:
+        from dataflowkit_ray.pipelines.corpus import corpus_prep
         from dataflowkit_ray.stages import textstats as _ts
 
         return {
@@ -635,6 +638,7 @@ def build_pipeline(spec: PipelineSpec):
             "tokens": _ts.token_counts,
             "quality": _ts.repetition_filter,
             "fingerprint": _ts.doc_fingerprints,
+            "corpus": corpus_prep,
         }[spec.text.kind](ds)
 
 

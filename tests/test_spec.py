@@ -846,3 +846,23 @@ def test_spec_dedup_cluster_kind(ray_session):
 
     exp = q_dedup_clusters(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got.equals(exp)
+
+
+def test_spec_text_corpus_kind(ray_session):
+    """text kind=corpus from JSON == the direct corpus_prep call."""
+    from dataflowkit_ray.spec import TextSpec
+
+    spec = PipelineSpec(
+        name="cp",
+        source=SourceSpec(
+            paths=[f"{SF}/documents.parquet"], tokenize=False,
+            columns=["doc_id", "text"],
+        ),
+        text=TextSpec(kind="corpus"),
+    )
+    spec = PipelineSpec.from_json(spec.to_json())
+    got = build_pipeline(spec).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    from dataflowkit_ray.pipelines.training import q_corpus_prep
+
+    exp = q_corpus_prep(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(exp)
