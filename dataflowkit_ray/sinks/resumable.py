@@ -195,6 +195,34 @@ def write_partitioned(
     from dataflowkit_ray.stages.agg import composite_bucket
 
     os.makedirs(out_dir, exist_ok=True)
+    # Partitioning-identity guard (mirror of resumable_shard_map's
+    # refuse-on-changed-input): markers are only reusable under the SAME
+    # (n_parts, key_cols) hash modulus.  Resuming with a different layout
+    # would silently drop rows whose new bucket id collides with an
+    # old-layout committed partition (or IndexError on a shrink), so the
+    # layout is pinned in a dir-level meta file and mismatches refuse.
+    meta_path = os.path.join(out_dir, "_partition_meta.json")
+    meta = {"n_parts": int(n_parts), "key_cols": list(key_cols)}
+    if resume and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev != meta:
+            raise ValueError(
+                f"write_partitioned: {out_dir!r} was written with "
+                f"n_parts={prev['n_parts']}, key_cols={prev['key_cols']} "
+                f"but this run asked for n_parts={meta['n_parts']}, "
+                f"key_cols={meta['key_cols']} — committed markers are "
+                "meaningless under a different hash layout. Use a fresh "
+                "out_dir (or resume=False) to recompute."
+            )
+    else:
+        # fresh run (or resume=False recompute): stale markers from any
+        # previous layout would poison a LATER resume — drop them first
+        if not resume:
+            for name in os.listdir(out_dir):
+                if name.startswith("done-") and name.endswith(".json"):
+                    os.remove(os.path.join(out_dir, name))
+        _atomic_write_json(meta_path, meta)
     done = finished_shards(out_dir) if resume else {}
     done_ids = np.zeros(n_parts, dtype=bool)
     for i in done:

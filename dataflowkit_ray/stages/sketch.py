@@ -387,8 +387,8 @@ def _cms_word_partial(t: pa.Table, depth: int, width: int) -> pa.Table:
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     # drop_null (not fill ""): DuckDB str_split(NULL) unnests to zero
-        # rows, so a filled "" word would diverge from the SQL replay
-        words = pc.split_pattern(text.drop_null(), pattern=" ").flatten()
+    # rows, so a filled "" word would diverge from the SQL replay
+    words = pc.split_pattern(text.drop_null(), pattern=" ").flatten()
     if len(words) == 0:
         return pa.table(
             {

@@ -90,17 +90,26 @@ def shard_pool(actor_cls, name: str, n: int, *args) -> list:
     from empty state (resumed runs then ``restore`` their checkpoint on
     top, exactly as with fresh actors).  Dead handles (e.g. after a
     ``ray.shutdown``/``ray.init`` cycle in tests) are detected and the
-    pool respawned."""
+    pool respawned; any other reset failure (bad ctor args, a bug in
+    ``reset``) propagates instead of silently leaking live actors.  The
+    pool key includes the actor class so a name reuse across classes
+    cannot hand back actors of the wrong type."""
     import ray
 
-    key = (name, n)
+    key = (actor_cls, name, n)
     pool = _POOLS.get(key)
     if pool is not None:
         try:
             ray.get([a.reset.remote(*args) for a in pool])
             return pool
-        except Exception:
-            pass  # dead pool (new ray session) -> respawn below
+        except ray.exceptions.RayActorError:
+            # dead pool (new ray session / killed actors) -> respawn.
+            # Best-effort kill in case only SOME actors died.
+            for a in pool:
+                try:
+                    ray.kill(a)
+                except Exception:
+                    pass
     pool = [spawn_shard(actor_cls, *args) for _ in range(n)]
     _POOLS[key] = pool
     return pool

@@ -134,3 +134,34 @@ def test_shard_map_refuses_changed_input(ray_session, tmp_path):
     p2, _ = _make_input(other, n_rows=50)
     with pytest.raises(ValueError, match="input set changed"):
         resumable_shard_map([p2, p], out, _double_id_fn())
+
+
+def test_write_partitioned_refuses_changed_layout(ray_session, tmp_path):
+    """Markers are only reusable under the same (n_parts, key_cols)
+    hash modulus; resuming with a different layout must raise instead
+    of silently dropping rows mapped to old-layout committed ids."""
+    import pytest
+
+    t = pa.table(
+        {
+            "k": pa.array([i % 37 for i in range(200)], pa.int64()),
+            "v": pa.array(range(200), pa.int64()),
+        }
+    )
+    out = str(tmp_path / "out")
+    write_partitioned(ray.data.from_arrow(t), out, ["k"], n_parts=8)
+    with pytest.raises(ValueError, match="hash layout"):
+        write_partitioned(ray.data.from_arrow(t), out, ["k"], n_parts=16)
+    with pytest.raises(ValueError, match="hash layout"):
+        write_partitioned(ray.data.from_arrow(t), out, ["k"], n_parts=4)
+    with pytest.raises(ValueError, match="hash layout"):
+        write_partitioned(ray.data.from_arrow(t), out, ["v"], n_parts=8)
+    # resume=False recomputes under the new layout and clears stale markers
+    r = write_partitioned(
+        ray.data.from_arrow(t), out, ["k"], n_parts=4, resume=False
+    )
+    assert r["rows"] == 200 and r["skipped"] == 0
+    assert max(finished_shards(out)) < 4
+    # and a subsequent SAME-layout resume is a clean no-op
+    r2 = write_partitioned(ray.data.from_arrow(t), out, ["k"], n_parts=4)
+    assert r2 == {"processed": 0, "skipped": r["processed"], "rows": 200}

@@ -171,3 +171,70 @@ def test_quantile_sketch_error_bound_and_merge_insensitivity(ray_session):
         est_rank = np.searchsorted(sv, est, side="right")
         tol = 4 * np.sqrt(q * (1 - q) / k) * n
         assert abs(est_rank - true_rank) <= tol, (q, est_rank, true_rank, tol)
+
+def test_cms_partial_accepts_plain_array():
+    """_cms_word_partial must work on a plain pa.Array text column, not
+    only ChunkedArray (regression: the split line was indented into the
+    ChunkedArray branch, leaving `words` unbound on the Array path)."""
+    from dataflowkit_ray.stages.sketch import _cms_word_partial
+
+    t = pa.table({"text": pa.array(["a b a", "b c", None])})
+    # rebuild with a non-chunked column
+    plain = pa.Table.from_arrays(
+        [t["text"].combine_chunks()], names=["text"]
+    )
+    chunked = pa.Table.from_arrays(
+        [pa.chunked_array([["a b a"], ["b c", None]])], names=["text"]
+    )
+    out_plain = _cms_word_partial(plain, depth=2, width=64).to_pandas()
+    out_chunked = _cms_word_partial(chunked, depth=2, width=64).to_pandas()
+    key = ["d", "bucket"]
+    assert (
+        out_plain.sort_values(key).reset_index(drop=True).equals(
+            out_chunked.sort_values(key).reset_index(drop=True)
+        )
+    )
+    assert out_plain.cnt.sum() == 2 * 5  # 5 words x depth 2
+
+
+def test_shard_pool_propagates_reset_errors(ray_session):
+    """A reset failure that is NOT an actor death must propagate (and
+    not silently leak live actors via blanket respawn); the pool key
+    includes the actor class so name reuse across classes is safe."""
+    import ray
+
+    from dataflowkit_ray.state import store as store_mod
+
+    @ray.remote
+    class Good:
+        def __init__(self, tag="x"):
+            self.tag = tag
+
+        def reset(self, tag="x"):
+            self.tag = tag
+
+        def who(self):
+            return ("good", self.tag)
+
+    @ray.remote
+    class Fussy:
+        def reset(self, *a):
+            raise RuntimeError("bad ctor args")
+
+        def who(self):
+            return ("fussy", None)
+
+    p1 = store_mod.shard_pool(Good, "advice_pool", 2)
+    assert ray.get(p1[0].who.remote()) == ("good", "x")
+    # same name, different class -> distinct pool, not wrong-type reuse
+    p2 = store_mod.shard_pool(Fussy, "advice_pool", 2)
+    assert ray.get(p2[0].who.remote()) == ("fussy", None)
+    assert p1[0] is not p2[0]
+    # second fetch hits reset() which raises -> must PROPAGATE
+    with pytest.raises(ray.exceptions.RayTaskError):
+        store_mod.shard_pool(Fussy, "advice_pool", 2)
+    # dead actors -> respawn path still works
+    for a in p1:
+        ray.kill(a)
+    p3 = store_mod.shard_pool(Good, "advice_pool", 2)
+    assert ray.get(p3[0].who.remote()) == ("good", "x")
