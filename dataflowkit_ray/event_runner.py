@@ -107,23 +107,25 @@ class EventStreamRunner:
         n_partitions: int = 4,
         chunks_per_epoch: int = 1,
         target_rows: int = 128,
+        discover: str | None = None,
     ):
         self.gap = gap
         self.n_shards = n_shards
         self.pattern_steps, self.pattern_mode = pattern or DEFAULT_EVENT_PATTERN
-        self.source = MicroBatchSource(
-            files,
+        self._source_kwargs = dict(
             n_partitions=n_partitions,
             chunks_per_epoch=chunks_per_epoch,
             target_rows=target_rows,
             columns=["ts", "user_id", "event_type"],
             clock_column="ts",
+            discover=discover,
         )
+        self.source = MicroBatchSource(files, **self._source_kwargs)
         self.session_sink = ExactlyOnceSink(f"{work_dir}/sessions", n_sink_parts=4)
         self.match_sink = ExactlyOnceSink(f"{work_dir}/matches", n_sink_parts=4)
         self.ckpt = CheckpointStore(f"{work_dir}/checkpoint")
 
-    def run(self, max_epochs: int | None = None) -> dict:
+    def run(self, max_epochs: int | None = None, on_epoch=None) -> dict:
         from dataflowkit_ray.state.store import shard_pool
 
         # session-scoped reusable pools: fresh-actor spawn + first-kernel
@@ -141,6 +143,11 @@ class EventStreamRunner:
             offsets = meta["offsets"]
             epoch = meta["epoch"] + 1
             finalized = meta.get("final", False)
+            # arrival order is stream identity (see StreamingRunner.run)
+            if meta.get("files") and meta["files"] != self.source.files:
+                self.source = MicroBatchSource(
+                    meta["files"], preserve_file_order=True, **self._source_kwargs
+                )
             ray.get(
                 [
                     s.restore.remote(sn)
@@ -160,7 +167,13 @@ class EventStreamRunner:
             epoch = 0
 
         ran = 0
-        while not self.source.done(offsets):
+        while True:
+            # runtime work discovery between epochs (no-op w/o discover=;
+            # a finalized stream is closed — see StreamingRunner.run)
+            if not finalized:
+                self.source.rescan()
+            if self.source.done(offsets):
+                break
             if max_epochs is not None and ran >= max_epochs:
                 break
             specs, new_offsets = self.source.next_slice(offsets)
@@ -185,6 +198,8 @@ class EventStreamRunner:
             offsets = new_offsets
             wm = self.source.watermark_clock(offsets)
             self._commit(epoch, wm, offsets, sessions, ceps, match_parts)
+            if on_epoch is not None:
+                on_epoch(epoch, {"chunks": len(specs)})
             ran += 1
             epoch += 1
 
@@ -231,7 +246,8 @@ class EventStreamRunner:
         )
         self.ckpt.write(
             epoch,
-            {"offsets": offsets, "watermark": int(wm), "final": final},
+            {"offsets": offsets, "watermark": int(wm), "final": final,
+             "files": self.source.files},
             {
                 "sessions": ray.get([s.snapshot.remote() for s in sessions]),
                 "cep": ray.get([c.snapshot.remote() for c in ceps]),

@@ -206,6 +206,53 @@ def q_streaming_windowed(sf_dir: str):
     return ExactlyOnceSink(f"{wd}/out").read_committed()
 
 
+def q_streaming_arrivals(sf_dir: str):
+    """Runtime work discovery (the reference's paginate-finds-pages
+    semantics, ``scrape/scrape.go:378-445``): the run starts with only the
+    FIRST HALF of the corpus on disk; the second half lands mid-run (after
+    epoch 0 commits) and ``MicroBatchSource.rescan()`` picks it up between
+    epochs.  The committed stream output must equal the batch tumbling
+    aggregate over the UNION — same oracle as ``streaming_windowed``.
+
+    The driver-side split-write below is the ARRIVAL SIMULATOR (this box
+    has no external producer), not part of the pipeline; the engine only
+    ever sees the glob."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from dataflowkit_ray.runner import StreamingRunner
+    from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+
+    wd = tempfile.mkdtemp(prefix="dfkr_arrive_", dir="/tmp")
+    inbox = f"{wd}/inbox"
+    os.makedirs(inbox)
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    half = len(t) // 2
+    first = f"{inbox}/part-000.parquet"
+    pq.write_table(t.slice(0, half), first)
+    late = t.slice(half)
+    dropped = []
+
+    def drop_late(epoch, info):
+        if not dropped:
+            pq.write_table(late, f"{inbox}/part-001.parquet")
+            dropped.append(epoch)
+
+    StreamingRunner(
+        [first],
+        wd,
+        chunks_per_epoch=2,
+        target_rows=_epoch_rows(f"{sf_dir}/documents.parquet", n_epochs=16, floor=256),
+        discover=f"{inbox}/*.parquet",
+    ).run(on_epoch=drop_late)
+    assert dropped, "arrival file never landed mid-run"
+    return ExactlyOnceSink(f"{wd}/out").read_committed()
+
+
 def q_filtered_read(sf_dir: str):
     """Predicate + projection pushdown at the read (SURVEY.md 'Prune at
     the read'): only (doc_id, source, n_chars) columns and only rows with
@@ -727,6 +774,7 @@ QUERIES = {
     "cep_contiguous": q_cep_contiguous,
     "filters_regex": q_filters_regex,
     "streaming_windowed": q_streaming_windowed,
+    "streaming_arrivals": q_streaming_arrivals,
     "streaming_sessions": q_streaming_sessions,
     "streaming_dedup": q_streaming_dedup,
     "range_join_events": q_range_join_events,
@@ -868,6 +916,12 @@ ORACLES["streaming_windowed"] = f"""
            CAST(SUM(len(regexp_extract_all(s, '{_WIN_PAT}'))) AS BIGINT) AS n_matches
     FROM enc GROUP BY 1, 2
 """
+
+# streaming_arrivals: work discovered MID-RUN must change nothing about
+# the result — the stream over (first half, late-arriving second half)
+# equals the batch aggregate over the whole table, i.e. the exact same
+# oracle as streaming_windowed.
+ORACLES["streaming_arrivals"] = ORACLES["streaming_windowed"]
 
 # streaming_funnel: the cross-epoch NFA (signup -> purchase, gap <= 3)
 # replayed as an index-carrying lazy-gap RE2 over per-user clock-ordered

@@ -167,6 +167,7 @@ class StreamingRunner:
         chunks_per_epoch: int = 2,
         target_rows: int = 512,
         slide: int | None = None,
+        discover: str | None = None,
     ):
         self.cfg = cfg
         self.window_size = window_size or cfg.tumbling_size
@@ -175,17 +176,18 @@ class StreamingRunner:
         self.slide = slide  # None -> tumbling; else sliding
         self.n_shards = n_shards or cfg.state_shards
         self.pattern = pattern or default_pattern()
-        self.source = MicroBatchSource(
-            files,
+        self._source_kwargs = dict(
             n_partitions=cfg.n_partitions,
             chunks_per_epoch=chunks_per_epoch,
             target_rows=target_rows,
             columns=["doc_id", "text", "source"],
+            discover=discover,
         )
+        self.source = MicroBatchSource(files, **self._source_kwargs)
         self.sink = ExactlyOnceSink(f"{work_dir}/out")
         self.ckpt = CheckpointStore(f"{work_dir}/checkpoint")
 
-    def run(self, max_epochs: int | None = None) -> dict:
+    def run(self, max_epochs: int | None = None, on_epoch=None) -> dict:
         state = ShardedState(
             WindowStateShard, self.n_shards, list(_METRICS), "n_rows",
             pool="windows",
@@ -197,6 +199,14 @@ class StreamingRunner:
             offsets = meta["offsets"]
             epoch = meta["epoch"] + 1
             finalized = meta.get("final", False)
+            # file ARRIVAL order is stream identity: chunk seqs (partition
+            # routing) and global_row_start (the event clock) depend on
+            # enumeration order, so a resume rebuilds the source from the
+            # checkpointed order, not the directory's current sort order
+            if meta.get("files") and meta["files"] != self.source.files:
+                self.source = MicroBatchSource(
+                    meta["files"], preserve_file_order=True, **self._source_kwargs
+                )
             state.restore(self.ckpt.read_state(latest, "windows", self.n_shards))
         else:
             offsets = self.source.initial_offsets()
@@ -206,7 +216,16 @@ class StreamingRunner:
             self.window_size, self.pattern, slide=self.slide
         )
         ran = 0
-        while not self.source.done(offsets):
+        while True:
+            # runtime work discovery (the reference's paginate-finds-pages
+            # semantics): pick up files that arrived since the last epoch.
+            # After a FINAL flush the stream is closed — late arrivals
+            # against a finalized checkpoint need a fresh work_dir (their
+            # windows were already emitted and popped).
+            if not finalized:
+                self.source.rescan()
+            if self.source.done(offsets):
+                break
             if max_epochs is not None and ran >= max_epochs:
                 break
             specs, new_offsets = self.source.next_slice(offsets)
@@ -228,6 +247,11 @@ class StreamingRunner:
                 metrics={"rows_in": rows_in, "chunks": len(specs),
                          "partial_rows": n_partials},
             )
+            if on_epoch is not None:
+                # observability/test hook, called after the commit (the
+                # epoch it reports is durable); arrival tests use it to
+                # drop files mid-run deterministically
+                on_epoch(epoch, {"rows_in": rows_in, "chunks": len(specs)})
             ran += 1
             epoch += 1
 
@@ -293,7 +317,8 @@ class StreamingRunner:
         )
         self.ckpt.write(
             epoch,
-            {"offsets": offsets, "watermark_event": wm_event, "final": final},
+            {"offsets": offsets, "watermark_event": wm_event, "final": final,
+             "files": self.source.files},
             {"windows": state.snapshot()},
         )
         self.ckpt.prune()
@@ -321,6 +346,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--chunks-per-epoch", type=int, default=2)
     p.add_argument("--target-rows", type=int, default=512)
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--discover", default=None,
+                   help="glob rescanned between epochs for newly-arrived files")
     args = p.parse_args(argv)
 
     if not _ray.is_initialized():
@@ -337,6 +364,7 @@ def main(argv: list[str] | None = None) -> None:
             target_rows=args.target_rows,
             slide=args.slide,
             window_size=args.window_size,
+            discover=args.discover,
         )
         print(json.dumps(runner.run(max_epochs=args.max_epochs)))
     finally:

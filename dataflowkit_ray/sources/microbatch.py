@@ -40,25 +40,6 @@ class Chunk:
     # event-clock frontier base (event_seq is monotone in file row order)
 
 
-def enumerate_chunks(files: list[str], target_rows: int = 4096) -> list[Chunk]:
-    """Split files into deterministic read chunks from footer metadata only."""
-    chunks: list[Chunk] = []
-    seq = 0
-    grs = 0
-    for f in sorted(files):
-        md = pq.read_metadata(f)
-        for rg in range(md.num_row_groups):
-            n = md.row_group(rg).num_rows
-            start = 0
-            while start < n:
-                take = min(target_rows, n - start)
-                chunks.append(Chunk(f, rg, start, take, seq, grs))
-                seq += 1
-                start += take
-                grs += take
-    return chunks
-
-
 def _clock_to_int(v) -> int:
     """Row-group statistic -> int64 clock (micros for timestamps)."""
     import datetime
@@ -162,6 +143,21 @@ class MicroBatchSource:
     are assigned to partitions round-robin by ``chunk.seq % n_partitions``
     — data-derived, so replays land on the same partition (the analog of
     the reference's content-hash UID keying, ``scrape/scrape.go:134-155``).
+
+    **Runtime discovery** (``discover=`` + :meth:`rescan`): the reference's
+    core streaming behavior is finding new work AS IT RUNS — ``paginate``
+    enqueues pages it discovers mid-crawl (``scrape/scrape.go:378-445``).
+    The engine analog: ``discover`` is a glob pattern (or a callable
+    returning file paths); ``rescan()`` between epochs appends chunks for
+    files that arrived since the last scan.  Appends are STRICTLY at the
+    tail — existing chunks keep their ``seq`` and ``global_row_start``
+    (partition routing and the event clock never move under a replay),
+    and new chunks extend each partition's tail, so the per-partition
+    frontier (and therefore the watermark) stays monotone.  The file
+    ARRIVAL order is part of stream identity: runners checkpoint
+    ``files`` and rebuild a resumed source with ``preserve_file_order=True``
+    so a resume re-derives byte-identical chunk seqs even when a
+    late-arriving file sorts before an earlier one.
     """
 
     def __init__(
@@ -174,11 +170,15 @@ class MicroBatchSource:
         clock_column: str | None = None,
         reader=None,
         fallback_reader=None,
+        discover: str | None = None,
+        preserve_file_order: bool = False,
     ):
-        self.files = sorted(files)
+        self.files: list[str] = []
         self.n_partitions = n_partitions
         self.chunks_per_epoch = chunks_per_epoch
+        self.target_rows = target_rows
         self.columns = columns
+        self.clock_column = clock_column
         # retry-with-fallback codec (``scrape/scrape.go:231-239``: base
         # fetch fails -> chrome fetch retries the same work item): both
         # are ``(spec: dict, columns) -> pa.Table``; ``reader=None`` uses
@@ -186,10 +186,10 @@ class MicroBatchSource:
         # is re-read through ``fallback_reader`` (no fallback -> re-raise)
         self.reader = reader
         self.fallback_reader = fallback_reader
-        self.chunks = enumerate_chunks(self.files, target_rows)
+        self.discover = discover
+        self.chunks: list[Chunk] = []
         self.by_partition: list[list[Chunk]] = [[] for _ in range(n_partitions)]
-        for c in self.chunks:
-            self.by_partition[c.seq % n_partitions].append(c)
+        self._grs_end = 0  # rows enumerated so far == next global_row_start
         # optional explicit clock (e.g. a sorted ts column): per-chunk
         # clock lower bound for clock-unit watermarks, from parquet
         # ROW-GROUP STATISTICS only (metadata pass, no data read).  For a
@@ -198,53 +198,96 @@ class MicroBatchSource:
         # wrongly closes early), and all emission is content-identical by
         # the final flush.  Falls back to reading the column if a writer
         # produced no statistics.
-        self.chunk_first_clock: dict[int, int] | None = None
+        self.chunk_first_clock: dict[int, int] | None = (
+            {} if clock_column is not None else None
+        )
         self.max_clock: int = 0
-        if clock_column is not None:
-            firsts: dict[int, int] = {}
-            for f in self.files:
-                md = pq.read_metadata(f)
-                col_idx = next(
-                    (
-                        i
-                        for i in range(md.schema.to_arrow_schema().__len__())
-                        if md.schema.column(i).name == clock_column
-                    ),
-                    None,
+        for f in list(files) if preserve_file_order else sorted(files):
+            self._append_file(f)
+
+    def _append_file(self, f: str) -> None:
+        """Enumerate one file's chunks at the tail (seq / global_row_start
+        continue; existing chunks are never renumbered)."""
+        md = pq.read_metadata(f)
+        new_chunks: list[Chunk] = []
+        seq = len(self.chunks)
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            start = 0
+            while start < n:
+                take = min(self.target_rows, n - start)
+                new_chunks.append(Chunk(f, rg, start, take, seq, self._grs_end))
+                seq += 1
+                start += take
+                self._grs_end += take
+        self.files.append(f)
+        self.chunks.extend(new_chunks)
+        for c in new_chunks:
+            self.by_partition[c.seq % self.n_partitions].append(c)
+        if self.clock_column is not None:
+            self._register_clock(f, md, new_chunks)
+
+    def _register_clock(self, f: str, md, new_chunks: list[Chunk]) -> None:
+        clock_column = self.clock_column
+        col_idx = next(
+            (
+                i
+                for i in range(md.schema.to_arrow_schema().__len__())
+                if md.schema.column(i).name == clock_column
+            ),
+            None,
+        )
+        rg_min: dict[int, int] = {}
+        stats_ok = col_idx is not None
+        if stats_ok:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    stats_ok = False
+                    break
+                rg_min[rg] = _clock_to_int(st.min)
+                self.max_clock = max(self.max_clock, _clock_to_int(st.max))
+        if stats_ok:
+            for c in new_chunks:
+                self.chunk_first_clock[c.seq] = rg_min[c.row_group]
+        else:
+            # fallback: one column read for this file
+            col = pq.read_table(f, columns=[clock_column])[clock_column]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            row_of: dict[int, int] = {}
+            off = 0
+            for rg in range(md.num_row_groups):
+                row_of[rg] = off
+                off += md.row_group(rg).num_rows
+            for c in new_chunks:
+                self.chunk_first_clock[c.seq] = int(
+                    vals[row_of[c.row_group] + c.row_start]
                 )
-                rg_min: dict[int, int] = {}
-                stats_ok = col_idx is not None
-                if stats_ok:
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(col_idx).statistics
-                        if st is None or not st.has_min_max:
-                            stats_ok = False
-                            break
-                        rg_min[rg] = _clock_to_int(st.min)
-                        self.max_clock = max(self.max_clock, _clock_to_int(st.max))
-                if stats_ok:
-                    for c in self.chunks:
-                        if c.file == f:
-                            firsts[c.seq] = rg_min[c.row_group]
-                else:
-                    # fallback: one column read for this file
-                    col = pq.read_table(f, columns=[clock_column])[clock_column]
-                    if isinstance(col, pa.ChunkedArray):
-                        col = col.combine_chunks()
-                    vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-                    base = 0
-                    row_of: dict[int, int] = {}
-                    off = 0
-                    for rg in range(md.num_row_groups):
-                        row_of[rg] = off
-                        off += md.row_group(rg).num_rows
-                    for c in self.chunks:
-                        if c.file == f:
-                            firsts[c.seq] = int(vals[row_of[c.row_group] + c.row_start])
-                    self.max_clock = max(
-                        self.max_clock, int(vals[-1]) if len(vals) else 0
-                    )
-            self.chunk_first_clock = firsts
+            self.max_clock = max(self.max_clock, int(vals[-1]) if len(vals) else 0)
+
+    def rescan(self) -> list[str]:
+        """Discover files that arrived since construction / the last
+        rescan and append their chunks.  Returns the new files (in the
+        order they were appended).  No-op without ``discover``.
+
+        Cost: one ``glob`` + set difference per call; parquet footers are
+        read only for NEW files — safe to call every epoch."""
+        if self.discover is None:
+            return []
+        import glob as _glob
+
+        found = (
+            self.discover()
+            if callable(self.discover)
+            else _glob.glob(self.discover)
+        )
+        known = set(self.files)
+        new = sorted(f for f in found if f not in known)
+        for f in new:
+            self._append_file(f)
+        return new
 
     def initial_offsets(self) -> list[int]:
         return [0] * self.n_partitions
