@@ -92,6 +92,33 @@ def _child_agg(t: pa.Table) -> pa.Table:
     )
 
 
+def _file_sources(f: str) -> list[str]:
+    """One file's distinct source values (catalog-sized; runs in a task)."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    return _pc.unique(_pq.read_table(f, columns=["source"])["source"]).to_pylist()
+
+
+_CATALOG_TASK = None  # cached remote fn (exporting per call costs ~50 ms)
+
+
+def source_catalog(files: list[str]) -> list[str]:
+    """Distributed distinct over the ``source`` column: one Ray task per
+    file returns that file's catalog-sized unique set; the driver unions.
+    The raw column never transits the driver, and the catalog covers
+    EVERY file (a single-file scan missed sources absent from file 0).
+    At one file this is one round-trip (~50 ms warm); at 100k files it is
+    the same fan-out the read itself schedules."""
+    global _CATALOG_TASK
+    import ray
+
+    if _CATALOG_TASK is None:
+        _CATALOG_TASK = ray.remote(num_cpus=1)(_file_sources)
+    sets = ray.get([_CATALOG_TASK.remote(f) for f in files])
+    return sorted(set().union(*map(set, sets)))
+
+
 def flagship_pipeline(
     sf_dir: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
@@ -125,18 +152,14 @@ def flagship_pipeline(
     # every shuffle byte is paid at exchange bandwidth, so the source
     # STRING never enters a shuffle: rows carry an int32 ``src_id``
     # through the exchange and the string re-attaches on the final
-    # (small) result.  The catalog comes from a driver-local read of the
-    # ONE raw-file source column (5k values at sf0.1) — catalog-sized:
-    # at 100 TB this is a dictionary/metadata lookup, not a data scan,
-    # and spending a whole Ray job on it added ~0.5-1 s of fixed cost.
-    import pyarrow.compute as _pc
-    import pyarrow.parquet as _pq
+    # (small) result.  The catalog is a DISTRIBUTED distinct: one Ray
+    # task per input file uniques its own source column (workers read,
+    # the driver receives only catalog-sized sets) — a driver-side scan
+    # of file 0 here both pulled a raw data column through the driver
+    # and KeyError'd on any source absent from the first file.
+    from dataflowkit_ray.tokenize import documents_files
 
-    srcs = sorted(
-        _pc.unique(
-            _pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])["source"]
-        ).to_pylist()
-    )
+    srcs = source_catalog(documents_files(sf_dir))
     src_to_id = {v: i for i, v in enumerate(srcs)}
 
     def add_src_id(t: pa.Table) -> pa.Table:

@@ -196,12 +196,15 @@ def q_streaming_windowed(sf_dir: str):
     from dataflowkit_ray.runner import StreamingRunner
     from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
 
+    from dataflowkit_ray.tokenize import documents_files
+
+    docs = documents_files(sf_dir)
     wd = tempfile.mkdtemp(prefix="dfkr_stream_", dir="/tmp")
     StreamingRunner(
-        [f"{sf_dir}/documents.parquet"],
+        docs,
         wd,
         chunks_per_epoch=2,
-        target_rows=_epoch_rows(f"{sf_dir}/documents.parquet", n_epochs=16, floor=256),
+        target_rows=_epoch_rows(docs, n_epochs=16, floor=256),
     ).run()
     return ExactlyOnceSink(f"{wd}/out").read_committed()
 
@@ -228,8 +231,13 @@ def q_streaming_arrivals(sf_dir: str):
     wd = tempfile.mkdtemp(prefix="dfkr_arrive_", dir="/tmp")
     inbox = f"{wd}/inbox"
     os.makedirs(inbox)
-    t = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    from dataflowkit_ray.tokenize import documents_files
+
+    t = pa.concat_tables(
+        [
+            pq.read_table(f, columns=["doc_id", "text", "source"])
+            for f in documents_files(sf_dir)
+        ]
     )
     half = len(t) // 2
     first = f"{inbox}/part-000.parquet"
@@ -246,7 +254,7 @@ def q_streaming_arrivals(sf_dir: str):
         [first],
         wd,
         chunks_per_epoch=2,
-        target_rows=_epoch_rows(f"{sf_dir}/documents.parquet", n_epochs=16, floor=256),
+        target_rows=_epoch_rows(documents_files(sf_dir), n_epochs=16, floor=256),
         discover=f"{inbox}/*.parquet",
     ).run(on_epoch=drop_late)
     assert dropped, "arrival file never landed mid-run"
@@ -260,8 +268,10 @@ def q_filtered_read(sf_dir: str):
     import pyarrow.dataset as pds
     import ray.data
 
+    from dataflowkit_ray.tokenize import documents_files
+
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
+        documents_files(sf_dir),
         columns=["doc_id", "source", "n_chars"],
         filter=(pds.field("lang") == "en") & (pds.field("n_chars") > 200),
     )
@@ -289,15 +299,15 @@ def q_drop_short(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def _epoch_rows(path: str, n_epochs: int = 10, floor: int = 512) -> int:
+def _epoch_rows(path: str | list[str], n_epochs: int = 10, floor: int = 512) -> int:
     """Volume-derived micro-batch size: ~``n_epochs`` epochs regardless of
     scale factor.  The streaming-semantics invariant (state carried across
     epochs, watermark closes, exactly-once commits) is exercised by
     SEVERAL epochs, not hundreds — a fixed 512-row epoch gave ~190 epochs
     at sf0.1 and the query spent 9 s in per-epoch driver coordination."""
-    import pyarrow.parquet as pq
+    from dataflowkit_ray.tokenize import table_rows
 
-    n = pq.read_metadata(path).num_rows
+    n = table_rows(path)
     return max(floor, n // n_epochs)
 
 
@@ -360,13 +370,16 @@ def q_streaming_join(sf_dir: str):
     from dataflowkit_ray.join_runner import StreamJoinRunner
     from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
 
+    from dataflowkit_ray.tokenize import documents_files
+
+    docs = documents_files(sf_dir)
     wd = tempfile.mkdtemp(prefix="dfkr_join_", dir="/tmp")
     StreamJoinRunner(
-        [f"{sf_dir}/documents.parquet"],
+        docs,
         [f"{sf_dir}/embeddings.parquet"],
         wd,
         right_lag=2,
-        target_rows=_epoch_rows(f"{sf_dir}/documents.parquet", n_epochs=10, floor=128),
+        target_rows=_epoch_rows(docs, n_epochs=10, floor=128),
     ).run()
     return ExactlyOnceSink(f"{wd}/out").read_committed()
 
@@ -407,7 +420,9 @@ def q_filters_regex(sf_dir: str):
     """Scalar filter chain: regex-extract all s-words, ';'-join, uppercase."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from dataflowkit_ray.tokenize import documents_files
+
+    ds = ray.data.read_parquet(documents_files(sf_dir), columns=["doc_id", "text"])
     ds = ds.map_batches(
         lambda t: pa.table(
             {"doc_id": pc.cast(t["doc_id"], pa.string()), "text": t["text"]}
@@ -465,8 +480,10 @@ def q_source_policy(sf_dir: str):
 
     from dataflowkit_ray.stages.policy import source_policy_filter
 
+    from dataflowkit_ray.tokenize import documents_files
+
     srcs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["source"]
+        documents_files(sf_dir), columns=["source"]
     ).unique("source")
     return source_policy_filter(
         load_token_stream(sf_dir), sources=srcs
@@ -698,11 +715,14 @@ def q_streaming_dedup(sf_dir: str):
     from dataflowkit_ray.dedup_runner import DedupStreamRunner
     from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
 
+    from dataflowkit_ray.tokenize import documents_files
+
+    docs = documents_files(sf_dir)
     wd = tempfile.mkdtemp(prefix="dfkr_dedup_", dir="/tmp")
     DedupStreamRunner(
-        [f"{sf_dir}/documents.parquet"],
+        docs,
         wd,
-        target_rows=_epoch_rows(f"{sf_dir}/documents.parquet"),
+        target_rows=_epoch_rows(docs),
     ).run()
     return ExactlyOnceSink(f"{wd}/dedup").read_committed()
 

@@ -27,7 +27,7 @@ from dataflowkit_ray.stages.multimodal import media_pipeline
 from dataflowkit_ray.stages.textstats import TEXT_STATS_SQL, doc_fingerprints, text_stats
 
 
-def _blocks_for(path: str, rows_per_block: int = 20_000) -> int:
+def _blocks_for(path: str | list[str], rows_per_block: int = 20_000) -> int:
     """Volume-derived block count (from parquet metadata, free).
 
     Ray's CPU-derived default gave 64 blocks for a 5k-row table; every
@@ -35,18 +35,20 @@ def _blocks_for(path: str, rows_per_block: int = 20_000) -> int:
     of driver time each, and the dedup pipelines (3 chained shuffles)
     paid ~4 s of pure coordination.  Blocks sized by DATA keep small
     inputs cheap and still fan out at volume."""
-    import pyarrow.parquet as pq
+    from dataflowkit_ray.tokenize import table_rows
 
-    n = pq.read_metadata(path).num_rows
+    n = table_rows(path)
     return max(4, min(512, n // rows_per_block + 1))
 
 
 def _docs(sf_dir: str):
     import ray.data
 
-    path = f"{sf_dir}/documents.parquet"
+    from dataflowkit_ray.tokenize import documents_files
+
+    files = documents_files(sf_dir)
     return ray.data.read_parquet(
-        path, columns=["doc_id", "text"], override_num_blocks=_blocks_for(path)
+        files, columns=["doc_id", "text"], override_num_blocks=_blocks_for(files)
     )
 
 
@@ -266,8 +268,10 @@ def q_resumable_tokens(sf_dir: str):
     from dataflowkit_ray.stages.textstats import token_count_batch
 
     out = tempfile.mkdtemp(prefix="resumable_tokens_", dir="/tmp")
+    from dataflowkit_ray.tokenize import documents_files
+
     resumable_shard_map(
-        f"{sf_dir}/documents.parquet",
+        documents_files(sf_dir),
         out,
         token_count_batch,
         columns=["doc_id", "text"],

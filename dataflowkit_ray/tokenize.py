@@ -168,7 +168,39 @@ def replicate_stream(repeat: int, id_stride: int = 10_000_000):
     return fn
 
 
-def blocks_for(path: str, rows_per_block: int = 20_000, lo: int = 4, hi: int = 512) -> int:
+def documents_files(sf_dir: str) -> list[str]:
+    """Resolve the documents table to its file list.
+
+    Two shapes are accepted: the driver's single ``documents.parquet``,
+    or a ``documents/`` DIRECTORY of partitioned parts — the shape a
+    100 TB corpus actually has (and what ``sinks/resumable.py``
+    ``write_partitioned`` produces).  Every documents reader in the
+    engine goes through this resolver, so pointing the gate/bench at a
+    multi-file corpus needs no per-query changes."""
+    import glob
+    import os
+
+    d = os.path.join(sf_dir, "documents")
+    if os.path.isdir(d):
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no parquet parts under {d}")
+        return files
+    return [os.path.join(sf_dir, "documents.parquet")]
+
+
+def table_rows(paths: str | list[str]) -> int:
+    """Total row count from parquet footers only (no data read)."""
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, str):
+        paths = [paths]
+    return sum(pq.read_metadata(p).num_rows for p in paths)
+
+
+def blocks_for(
+    path: str | list[str], rows_per_block: int = 20_000, lo: int = 4, hi: int = 512
+) -> int:
     """Volume-derived block count from parquet metadata (free).
 
     THE block-sizing rule of this engine: Ray's CPU-derived default gave
@@ -177,9 +209,7 @@ def blocks_for(path: str, rows_per_block: int = 20_000, lo: int = 4, hi: int = 5
     zero-column empty blocks.  Deriving from row count keeps small
     inputs cheap and still fans out at volume.  Shared by every reader
     (token stream, events, documents, embeddings, bench volume mode)."""
-    import pyarrow.parquet as pq
-
-    n = pq.read_metadata(path).num_rows
+    n = table_rows(path)
     return max(lo, min(hi, n // max(1, rows_per_block)))
 
 
@@ -214,11 +244,12 @@ def load_token_stream(
     import ray.data
 
     cols = ["doc_id", "text", "source", *columns_extra]
+    files = documents_files(sf_dir)
     if repeat <= 1:
         if num_blocks is None:
-            num_blocks = blocks_for(f"{sf_dir}/documents.parquet", rows_per_block=1000)
+            num_blocks = blocks_for(files, rows_per_block=1000)
         ds = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=cols,
+            files, columns=cols,
             override_num_blocks=num_blocks,
         )
         return ds.map_batches(
@@ -229,7 +260,7 @@ def load_token_stream(
 
     # tokenize the (catalog-sized) base table once; broadcast the token
     # table — every synth task reads it zero-copy from the object store
-    raw = pq.read_table(f"{sf_dir}/documents.parquet", columns=cols)
+    raw = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
     tok_ref = ray.put(tokenize_documents(raw))
     nb = min(num_blocks or max(64, min(512, repeat // 8)), repeat)
     # replica ranges per synth task (balanced, possibly uneven)

@@ -114,6 +114,16 @@ def _scan_gaps_scalar(tokens, first_ok, step_oks, gaps, nonoverlapping=True):
 
 
 def _docs(sf_dir: str) -> pd.DataFrame:
+    import glob
+    import os
+
+    d = f"{sf_dir}/documents"
+    if os.path.isdir(d):  # multi-file corpus shape
+        import pyarrow as pa
+
+        return pa.concat_tables(
+            [pq.read_table(f) for f in sorted(glob.glob(f"{d}/*.parquet"))]
+        ).to_pandas()
     return pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
 
 

@@ -48,8 +48,17 @@ def main() -> int:
     import __ray_entry__ as e
 
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+        # multi-file shape: a `<table>/` directory of parts registers as
+        # a glob view — same rows, so oracle hashes must not change
+        if os.path.isdir(f"{SF}/{t}"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}/*.parquet')"
+            )
+        else:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
     skip = set((sys.argv[2] if len(sys.argv) > 2 else "").split(","))
     qs, oracles = e.queries(), e.oracle_sql()
