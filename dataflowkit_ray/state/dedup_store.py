@@ -2,17 +2,18 @@
 micro-batch epochs.
 
 The web-scale-ingest version of :func:`~dataflowkit_ray.stages.dedup.
-exact_dedup`: documents arrive epoch by epoch, each shard owns a hash
-range of the 64-bit content-hash space and keeps (min doc_id, copy
-count) per distinct hash — the streaming analog of the reference's
+exact_dedup`: documents arrive epoch by epoch, each shard owns a bucket
+of the 128-bit content-key space (routed on lane 1, keyed on both
+lanes) and keeps (min doc_id, copy count) per distinct key — the
+streaming analog of the reference's
 idempotent Upsert-on-content-hash (``/root/reference/storage/
 mongo.go:70-72``; SURVEY.md §2.6 O3).  After the final epoch, every
 shard writes its own sorted sink part; the FINAL output is identical to
 the batch operator (asserted by the ``streaming_dedup`` DuckDB oracle,
 which is the same SQL as ``exact_dedup``).
 
-State size is O(distinct hashes) per shard — the inherent memory of
-exact streaming dedup; shard count scales it horizontally (16 bytes per
+State size is O(distinct keys) per shard — the inherent memory of
+exact streaming dedup; shard count scales it horizontally (24 bytes per
 distinct doc per shard).  Checkpoints snapshot the full per-shard array
 per epoch; at very long streams a delta/compaction scheme (or the diskv
 TTL backend in ``state/store.py``) would amortize that — documented
@@ -31,8 +32,8 @@ from dataflowkit_ray.state.store import StagingBuffer, np_int64
 @ray.remote
 class DedupStateShard:
     def __init__(self):
-        # content hash -> [min doc_id, copies]
-        self.state: dict[int, list[int]] = {}
+        # (lane1, lane2) 128-bit content key -> [min doc_id, copies]
+        self.state: dict[tuple[int, int], list[int]] = {}
         self.last_applied: int = -1
         self.staging = StagingBuffer()
         from dataflowkit_ray.state.store import warm_arrow_kernels
@@ -59,26 +60,30 @@ class DedupStateShard:
         return {"rows": len(t)}
 
     def _merge_table(self, t: pa.Table) -> None:
-        """Vectorized epoch merge: one in-batch (hash -> min id, count)
-        reduction in numpy, then Python only over DISTINCT hashes for the
-        state-dict update (the session-shard idiom)."""
+        """Vectorized epoch merge: one in-batch (128-bit key -> min id,
+        count) reduction in numpy, then Python only over DISTINCT keys
+        for the state-dict update (the session-shard idiom).  Identity =
+        BOTH hash lanes (a 64-bit key false-merges at corpus scale)."""
         n = len(t)
         if n == 0:
             return
         h = np_int64(t["key"])
+        h2 = np_int64(t["key2"])
         d = np_int64(t["doc_id"])
-        order = np.lexsort((d, h))
-        h, d = h[order], d[order]
+        order = np.lexsort((d, h2, h))
+        h, h2, d = h[order], h2[order], d[order]
         first = np.ones(n, dtype=bool)
-        first[1:] = h[1:] != h[:-1]
+        first[1:] = (h[1:] != h[:-1]) | (h2[1:] != h2[:-1])
         starts = np.nonzero(first)[0]
         counts = np.diff(np.append(starts, n))
-        mins = d[starts]  # sorted by (h, d): first row per hash = min id
+        mins = d[starts]  # sorted by (h, h2, d): first row per key = min id
         st = self.state
-        for hh, mi, c in zip(h[starts].tolist(), mins.tolist(), counts.tolist()):
-            cur = st.get(hh)
+        for hh, hh2, mi, c in zip(
+            h[starts].tolist(), h2[starts].tolist(), mins.tolist(), counts.tolist()
+        ):
+            cur = st.get((hh, hh2))
             if cur is None:
-                st[hh] = [mi, int(c)]
+                st[(hh, hh2)] = [mi, int(c)]
             else:
                 if mi < cur[0]:
                     cur[0] = mi
@@ -105,7 +110,8 @@ class DedupStateShard:
         items = self.state.items()
         return {
             "last_applied": self.last_applied,
-            "h": np.fromiter((k for k, _ in items), np.int64, len(self.state)),
+            "h": np.fromiter((k[0] for k, _ in items), np.int64, len(self.state)),
+            "h2": np.fromiter((k[1] for k, _ in items), np.int64, len(self.state)),
             "mid": np.fromiter((v[0] for _, v in items), np.int64, len(self.state)),
             "cnt": np.fromiter((v[1] for _, v in items), np.int64, len(self.state)),
         }
@@ -113,8 +119,8 @@ class DedupStateShard:
     def restore(self, snap: dict) -> None:
         self.last_applied = snap["last_applied"]
         self.state = {
-            int(k): [int(m), int(c)]
-            for k, m, c in zip(snap["h"], snap["mid"], snap["cnt"])
+            (int(k), int(k2)): [int(m), int(c)]
+            for k, k2, m, c in zip(snap["h"], snap["h2"], snap["mid"], snap["cnt"])
         }
 
     def stats(self) -> dict:

@@ -357,3 +357,32 @@ def full_hash64(arr) -> "np.ndarray":
         dtype=np.uint64,
     )
     return uh[np_col(d.indices)]
+
+
+def full_hash128(arr) -> tuple["np.ndarray", "np.ndarray"]:
+    """128-bit content identity as two independent 64-bit lanes
+    (blake2b-16 split into low/high 8 bytes), per string element.
+
+    For DEDUP keys: 2^64 birthday bounds give ~2-3 expected collisions at
+    10^10 documents — each one silently deletes a distinct doc — while at
+    2^128 a false merge is impossible at any physical corpus size.
+    Group/route on BOTH lanes.  Vectorized over the batch dictionary of
+    unique strings, same as :func:`full_hash64`."""
+    import hashlib
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    if isinstance(arr, _pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = _pc.fill_null(arr, "")
+    d = arr.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    lo = np.empty(len(uniq), dtype=np.uint64)
+    hi = np.empty(len(uniq), dtype=np.uint64)
+    for i, u in enumerate(uniq):
+        dig = hashlib.blake2b(str(u).encode(), digest_size=16).digest()
+        lo[i] = int.from_bytes(dig[:8], "little")
+        hi[i] = int.from_bytes(dig[8:], "little")
+    codes = np_col(d.indices)
+    return lo[codes], hi[codes]

@@ -525,21 +525,77 @@ def test_multimodal_real_container_roundtrip():
         _decode_pgm(b"P5\n4 4\n255\n" + b"x" * 7)
 
 
-def test_ngram_jaccard_raises_on_overdense_shingle(ray_session):
-    """An over-dense shingle group must RAISE (a drop would corrupt the
-    co-occurrence counts of surviving pairs — unlike the minhash cap,
-    which only prunes candidates before an exact verify)."""
+def test_ngram_jaccard_boilerplate_corpus_completes(ray_session):
+    """The planted hot-shingle corpus: 1000 IDENTICAL boilerplate docs
+    (every shingle df=1000 >> df_cap) plus two near-dup distinct docs.
+    Round 4 raised here; the df-capped semantics complete — boilerplate
+    shingles leave the similarity universe, the real near-dup pair
+    survives with its jaccard computed over the capped universe."""
     import ray
 
-    texts = ["common words here fluff %d" % i for i in range(40)]
+    boiler = "terms of service apply to all users of this site"
+    texts = [boiler] * 1000 + [
+        "quick brown foxes jump over lazy dogs today",
+        "quick brown foxes jump over lazy dogs tonight",
+    ]
     ds = ray.data.from_arrow(
         pa.table(
-            {"doc_id": pa.array(range(40), pa.int64()), "text": texts}
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+            }
         )
     )
-    with pytest.raises(Exception, match="max_group_size"):
-        ngram_jaccard_pairs(ds, threshold=0.5, n_buckets=4, max_group_size=16)\
-            .materialize()
+    out = (
+        ngram_jaccard_pairs(ds, threshold=0.3, n_buckets=4, df_cap=512)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # identical boilerplate docs: all their shingles are hot -> no pairs
+    # from them; the two distinct 8-word docs share 5 of their 6+6
+    # trigrams (union 7)
+    assert out.doc_a.tolist() == [1000]
+    assert out.doc_b.tolist() == [1001]
+    assert abs(out.jaccard[0] - round(5 / 7, 6)) < 1e-9
+
+
+def test_ngram_jaccard_df_cap_matches_filtered_oracle(ray_session):
+    """With the cap ACTIVE (small df_cap on a templated corpus) the
+    engine must equal DuckDB computing exact Jaccard over the SAME
+    df-filtered gram universe (the gate at sf0.01 never activates the
+    filter — every df <= corpus size < 512)."""
+    import duckdb
+    import ray
+
+    from dataflowkit_ray.pipelines.training import ngram_jaccard_oracle_sql
+
+    rng = range(30)
+    texts = [
+        # shared template head (hot at df_cap=8) + per-group tail
+        "the standard header line for docs group %d variant %d extra words"
+        % (i % 3, i % 2)
+        for i in rng
+    ]
+    t = pa.table({"doc_id": pa.array(rng, pa.int64()), "text": texts})
+    got = (
+        ngram_jaccard_pairs(
+            ray.data.from_arrow(t), threshold=0.4, n_buckets=4, df_cap=8
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    exp = (
+        con.execute(ngram_jaccard_oracle_sql(threshold=0.4, df_cap=8))
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 0  # the scenario really produces pairs
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
 def test_dedup_clusters_transitive_chains(ray_session):
@@ -634,3 +690,48 @@ def test_dedup_clusters_unknown_endpoints_dropped(ray_session):
         # 1 and 2 must NOT merge through the unknown node 99
         assert out.loc[1, "cluster_id"] == 1 and out.loc[2, "cluster_id"] == 2, mode
         assert out.loc[6, "cluster_id"] == 5, mode  # real edge still works
+
+
+def test_exact_dedup_128bit_survives_lane1_collision(ray_session):
+    """Two DISTINCT texts whose first 64-bit hash lane collides must BOTH
+    survive exact_dedup (the round-4 verdict's false-merge finding): the
+    group key is both lanes.  The collision is planted via the injectable
+    hash_fn — lane 1 constant (total collision), lane 2 = real hash."""
+    import ray
+
+    from dataflowkit_ray.stages.dedup import exact_dedup
+    from dataflowkit_ray.tokenize import full_hash128
+
+    def colliding(text):
+        h1, h2 = full_hash128(text)
+        return np.zeros_like(h1), h2  # lane 1 collides for EVERY doc
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["alpha text", "beta text", "alpha text"],
+        }
+    )
+    out = (
+        exact_dedup(ray.data.from_arrow(t), hash_fn=colliding)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # distinct texts kept apart despite full lane-1 collision; the true
+    # duplicate still folds
+    assert out.doc_id.tolist() == [0, 1]
+    assert out.n_copies.tolist() == [2, 1]
+
+
+def test_full_hash128_lanes_independent_and_deterministic():
+    from dataflowkit_ray.tokenize import full_hash128
+
+    a = pa.array(["x", "y", "x", None, ""])
+    l1, l2 = full_hash128(a)
+    m1, m2 = full_hash128(a)
+    assert (l1 == m1).all() and (l2 == m2).all()
+    assert l1[0] == l1[2] and l2[0] == l2[2]
+    assert l1[0] != l1[1] and l2[0] != l2[1]
+    assert l1[3] == l1[4] and l2[3] == l2[4]  # null hashes as ""
+    assert l1[0] != l2[0]  # lanes are different functions
