@@ -55,19 +55,21 @@ class DedupStreamRunner:
         n_partitions: int = 4,
         chunks_per_epoch: int = 1,
         target_rows: int = 128,
+        discover: str | None = None,
     ):
         self.n_shards = n_shards
-        self.source = MicroBatchSource(
-            files,
+        self._source_kwargs = dict(
             n_partitions=n_partitions,
             chunks_per_epoch=chunks_per_epoch,
             target_rows=target_rows,
             columns=["doc_id", "text"],
+            discover=discover,
         )
+        self.source = MicroBatchSource(files, **self._source_kwargs)
         self.sink = ExactlyOnceSink(f"{work_dir}/dedup", n_sink_parts=n_shards)
         self.ckpt = CheckpointStore(f"{work_dir}/checkpoint")
 
-    def run(self, max_epochs: int | None = None) -> dict:
+    def run(self, max_epochs: int | None = None, on_epoch=None) -> dict:
         from dataflowkit_ray.state.store import shard_pool
 
         shards = shard_pool(DedupStateShard, "dedup", self.n_shards)
@@ -78,6 +80,11 @@ class DedupStreamRunner:
             offsets = meta["offsets"]
             epoch = meta["epoch"] + 1
             finalized = meta.get("final", False)
+            # arrival order is stream identity (see StreamingRunner.run)
+            if meta.get("files") and meta["files"] != self.source.files:
+                self.source = MicroBatchSource(
+                    meta["files"], preserve_file_order=True, **self._source_kwargs
+                )
             ray.get(
                 [
                     s.restore.remote(sn)
@@ -91,7 +98,13 @@ class DedupStreamRunner:
             epoch = 0
 
         ran = 0
-        while not self.source.done(offsets):
+        while True:
+            # runtime work discovery between epochs (no-op w/o discover=;
+            # a finalized stream is closed — see StreamingRunner.run)
+            if not finalized:
+                self.source.rescan()
+            if self.source.done(offsets):
+                break
             if max_epochs is not None and ran >= max_epochs:
                 break
             specs, new_offsets = self.source.next_slice(offsets)
@@ -103,10 +116,13 @@ class DedupStreamRunner:
             offsets = new_offsets
             self.ckpt.write(
                 epoch,
-                {"offsets": offsets, "final": False},
+                {"offsets": offsets, "final": False,
+                 "files": self.source.files},
                 {"dedup": ray.get([s.snapshot.remote() for s in shards])},
             )
             self.ckpt.prune()
+            if on_epoch is not None:
+                on_epoch(epoch, {"chunks": len(specs)})
             ran += 1
             epoch += 1
 

@@ -89,6 +89,7 @@ class DedupSpec:
     max_hamming: int = 3  # simhash distance bound
     text_col: str = "text"
     id_col: str = "doc_id"
+    df_cap: int = 512  # ngram only: shingle-universe df cap
 
 
 @dataclass
@@ -140,6 +141,33 @@ class AsofSpec:
     left_on: str
     right_on: str
     right_columns: list[str] | None = None
+
+
+@dataclass
+class RangeJoinSpec:
+    """Interval (range) join stage: every source row joins each interval
+    row whose CLOSED [lo, hi] contains ``value_col`` (timestamps vs
+    maintenance windows, IPs vs CIDR ranges).  The intervals table is
+    its own (small, broadcast-side) parquet read; the left stream probes
+    a shipped elementary-segment index and never shuffles
+    (``stages/join.range_join``)."""
+
+    interval_paths: list[str]
+    value_col: str
+    lo_col: str = "lo"
+    hi_col: str = "hi"
+    interval_columns: list[str] | None = None
+
+
+@dataclass
+class HeavyHittersSpec:
+    """Count-Min heavy-hitters terminal stage over the raw document text
+    (``stages/sketch.cms_heavy_hitters``): top-k words by CMS estimate,
+    two streaming passes, bounded depth x width sketch broadcast once."""
+
+    k: int = 20
+    depth: int = 4
+    width: int = 8192
 
 
 @dataclass
@@ -218,6 +246,7 @@ class StreamingSpec:
 
     work_dir: str
     mode: str = "windowed"  # windowed | events | dedup
+    discover: str | None = None  # glob rescanned between epochs (arrivals)
     chunks_per_epoch: int = 2
     target_rows: int = 512
     n_shards: int | None = None
@@ -239,7 +268,9 @@ class PipelineSpec:
     policy: PolicySpec | None = None
     throttle: ThrottleSpec | None = None
     asof: AsofSpec | None = None
+    range_join: RangeJoinSpec | None = None
     relational: RelationalSpec | None = None
+    heavy_hitters: HeavyHittersSpec | None = None
     ann: AnnSpec | None = None
     quantiles: QuantilesSpec | None = None
     sink: SinkSpec | None = None
@@ -278,6 +309,14 @@ class PipelineSpec:
             dedup=DedupSpec(**d["dedup"]) if d.get("dedup") else None,
             text=TextSpec(**d["text"]) if d.get("text") else None,
             asof=AsofSpec(**d["asof"]) if d.get("asof") else None,
+            range_join=(
+                RangeJoinSpec(**d["range_join"]) if d.get("range_join") else None
+            ),
+            heavy_hitters=(
+                HeavyHittersSpec(**d["heavy_hitters"])
+                if d.get("heavy_hitters")
+                else None
+            ),
             policy=PolicySpec(**d["policy"]) if d.get("policy") else None,
             throttle=ThrottleSpec(**d["throttle"]) if d.get("throttle") else None,
             relational=(
@@ -372,12 +411,29 @@ def validate_spec(spec: PipelineSpec) -> None:
             raise SpecError("asof needs >= 1 right path")
         if spec.asof.left_on == spec.asof.right_on:
             raise SpecError("asof left_on/right_on must be distinct column names")
+    if spec.range_join:
+        rj = spec.range_join
+        if not rj.interval_paths:
+            raise SpecError("range_join needs >= 1 interval path")
+        if not rj.value_col:
+            raise SpecError("range_join needs a value_col")
+        if rj.lo_col == rj.hi_col:
+            raise SpecError("range_join lo_col/hi_col must be distinct")
+    if spec.heavy_hitters:
+        hh = spec.heavy_hitters
+        if hh.k <= 0 or hh.depth <= 0 or hh.width <= 0:
+            raise SpecError("heavy_hitters k/depth/width must be > 0")
+        if spec.source.tokenize:
+            raise SpecError(
+                "heavy_hitters counts raw words: set source.tokenize=false"
+            )
     _terminal = {
         "relational": spec.relational,
         "ann": spec.ann,
         "quantiles": spec.quantiles,
         "dedup": spec.dedup,
         "text": spec.text,
+        "heavy_hitters": spec.heavy_hitters,
     }
     _set = [n for n, v in _terminal.items() if v]
     if len(_set) > 1:
@@ -543,31 +599,45 @@ def build_pipeline(spec: PipelineSpec):
             n_probe=a.n_probe if a.n_probe is not None else len(cent),
         )
 
-    if src.format == "parquet":
-        from dataflowkit_ray.tokenize import blocks_for
+    def read_source():
+        if src.format == "parquet":
+            from dataflowkit_ray.tokenize import blocks_for
 
-        # volume-derived block count (sum over paths): Ray's CPU-derived
-        # default over-fragments small tables and every downstream sort
-        # then coordinates near-empty partitions / emits zero-column
-        # blocks (the measured r1 pitfall)
-        try:
-            # directory / glob paths have no single parquet footer —
-            # fall back to Ray's own block sizing for those
-            nb = min(sum(blocks_for(p) for p in src.paths), 512)
-        except Exception:
-            nb = None
-        ds = ray.data.read_parquet(
-            src.paths, columns=src.columns, override_num_blocks=nb
-        )
-    elif src.format == "csv":
-        ds = ray.data.read_csv(src.paths)
-    else:
-        ds = ray.data.read_json(src.paths)
-    if src.columns and src.format != "parquet":
-        ds = ds.select_columns(src.columns)
+            # volume-derived block count (sum over paths): Ray's
+            # CPU-derived default over-fragments small tables and every
+            # downstream sort then coordinates near-empty partitions /
+            # emits zero-column blocks (the measured r1 pitfall)
+            try:
+                # directory / glob paths have no single parquet footer —
+                # fall back to Ray's own block sizing for those
+                nb = min(sum(blocks_for(p) for p in src.paths), 512)
+            except Exception:
+                nb = None
+            out = ray.data.read_parquet(
+                src.paths, columns=src.columns, override_num_blocks=nb
+            )
+        elif src.format == "csv":
+            out = ray.data.read_csv(src.paths)
+        else:
+            out = ray.data.read_json(src.paths)
+        if src.columns and src.format != "parquet":
+            out = out.select_columns(src.columns)
+        return out
+
+    ds = read_source()
 
     if src.tokenize:
         ds = ds.map_batches(tokenize_documents, batch_format="pyarrow")
+
+    if spec.heavy_hitters:
+        from dataflowkit_ray.stages.sketch import cms_heavy_hitters
+
+        hh = spec.heavy_hitters
+        # pass 2 re-reads the source (a Dataset lineage is single-consume;
+        # same two-read shape as the query registry's q_heavy_hitters)
+        return cms_heavy_hitters(
+            ds, read_source(), k=hh.k, depth=hh.depth, width=hh.width
+        )
 
     if spec.policy and spec.policy.enabled:
         from dataflowkit_ray.stages.policy import source_policy_filter
@@ -614,7 +684,8 @@ def build_pipeline(spec: PipelineSpec):
             )
         if dd.kind == "ngram":
             return ngram_jaccard_pairs(
-                ds, threshold=dd.threshold, text_col=dd.text_col, id_col=dd.id_col
+                ds, threshold=dd.threshold, text_col=dd.text_col,
+                id_col=dd.id_col, df_cap=dd.df_cap,
             )
         if dd.kind == "cluster":
             from dataflowkit_ray.stages.dedup import dedup_clusters
@@ -662,6 +733,21 @@ def build_pipeline(spec: PipelineSpec):
         right = ray.data.read_parquet(a.right_paths, columns=a.right_columns)
         ds = asof_join(
             ds, right, key=a.key, left_on=a.left_on, right_on=a.right_on
+        )
+
+    if spec.range_join:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dataflowkit_ray.stages.join import range_join
+
+        rj = spec.range_join
+        cols = rj.interval_columns
+        ivs = pa.concat_tables(
+            [pq.read_table(p, columns=cols) for p in rj.interval_paths]
+        )
+        ds = range_join(
+            ds, ivs, rj.value_col, lo_col=rj.lo_col, hi_col=rj.hi_col
         )
 
     if spec.pattern:
@@ -746,6 +832,7 @@ def run_streaming(spec: PipelineSpec) -> dict:
             n_shards=st.n_shards or 4,
             chunks_per_epoch=st.chunks_per_epoch,
             target_rows=st.target_rows,
+            discover=st.discover,
         )
     elif st.mode == "windowed":
         from dataflowkit_ray.runner import StreamingRunner
@@ -760,6 +847,7 @@ def run_streaming(spec: PipelineSpec) -> dict:
             pattern=_pattern_from_spec(spec.pattern) if spec.pattern else None,
             chunks_per_epoch=st.chunks_per_epoch,
             target_rows=st.target_rows,
+            discover=st.discover,
         )
     else:
         from dataflowkit_ray.event_runner import EventStreamRunner
@@ -783,6 +871,7 @@ def run_streaming(spec: PipelineSpec) -> dict:
             pattern=pattern,
             chunks_per_epoch=st.chunks_per_epoch,
             target_rows=st.target_rows,
+            discover=st.discover,
             **kw,
         )
     summary = r.run(st.max_epochs)

@@ -8,12 +8,17 @@ import glob
 import gzip
 import json
 
+import pandas as pd
+
 import pyarrow as pa
 import pytest
 
 from dataflowkit_ray.spec import (
     AggSpec,
+    DedupSpec,
     FilterSpec,
+    HeavyHittersSpec,
+    RangeJoinSpec,
     PatternSpec,
     PipelineSpec,
     SinkSpec,
@@ -866,3 +871,148 @@ def test_spec_text_corpus_kind(ray_session):
 
     exp = q_corpus_prep(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got.equals(exp)
+
+
+def test_spec_heavy_hitters_equals_direct(ray_session):
+    """Spec-driven CMS heavy hitters == the direct builder call."""
+    from dataflowkit_ray.pipelines.training import q_heavy_hitters
+
+    spec = PipelineSpec(
+        name="hh",
+        source=SourceSpec(
+            paths=[f"{SF}/documents.parquet"], tokenize=False,
+            columns=["doc_id", "text"],
+        ),
+        heavy_hitters=HeavyHittersSpec(k=20),
+    )
+    got = build_pipeline(spec).to_pandas().reset_index(drop=True)
+    exp = q_heavy_hitters(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_spec_heavy_hitters_json_roundtrip_and_validation(ray_session):
+    spec = PipelineSpec(
+        name="hh",
+        source=SourceSpec(paths=[f"{SF}/documents.parquet"], tokenize=False),
+        heavy_hitters=HeavyHittersSpec(k=5, depth=2, width=256),
+    )
+    back = PipelineSpec.from_json(spec.to_json())
+    assert back == spec
+    with pytest.raises(SpecError, match="tokenize"):
+        validate_spec(
+            PipelineSpec(
+                name="hh",
+                source=SourceSpec(paths=["x.parquet"], tokenize=True),
+                heavy_hitters=HeavyHittersSpec(),
+            )
+        )
+    with pytest.raises(SpecError, match="k/depth/width"):
+        validate_spec(
+            PipelineSpec(
+                name="hh",
+                source=SourceSpec(paths=["x.parquet"], tokenize=False),
+                heavy_hitters=HeavyHittersSpec(k=0),
+            )
+        )
+    # terminal exclusivity
+    with pytest.raises(SpecError, match="mutually exclusive"):
+        validate_spec(
+            PipelineSpec(
+                name="hh",
+                source=SourceSpec(paths=["x.parquet"], tokenize=False),
+                heavy_hitters=HeavyHittersSpec(),
+                dedup=DedupSpec(kind="exact"),
+            )
+        )
+
+
+def test_spec_range_join_equals_direct(ray_session, tmp_path):
+    """Spec-driven range join == direct range_join over the same
+    interval table (written to parquet for the spec's own read)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dataflowkit_ray.stages.join import range_join
+
+    ivs = pa.table(
+        {
+            "window_id": pa.array(range(6), pa.int64()),
+            "lo": pa.array([0, 50, 100, 150, 200, 250], pa.int64()),
+            "hi": pa.array([99, 149, 199, 249, 299, 349], pa.int64()),
+        }
+    )
+    ivp = str(tmp_path / "intervals.parquet")
+    pq.write_table(ivs, ivp)
+
+    spec = PipelineSpec(
+        name="rj",
+        source=SourceSpec(
+            paths=[f"{SF}/documents.parquet"], tokenize=True,
+            columns=["doc_id", "text", "source"],
+        ),
+        range_join=RangeJoinSpec(
+            interval_paths=[ivp], value_col="event_seq",
+        ),
+    )
+    key = ["doc_id", "window_id"]
+    got = (
+        build_pipeline(spec).to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    from dataflowkit_ray.tokenize import load_token_stream
+
+    exp = (
+        range_join(load_token_stream(SF), ivs, "event_seq")
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+    assert len(got) > 0
+    # event_seq 0..499 covers every window of the 2x-overlap tiling:
+    # values 0-49 and 300-349 fall in 1 window, 50-299 in 2 -> 600 rows
+    assert got.window_id.nunique() == 6
+    assert len(got) == 600
+
+    with pytest.raises(SpecError, match="interval path"):
+        validate_spec(
+            PipelineSpec(
+                name="rj",
+                source=SourceSpec(paths=["x.parquet"]),
+                range_join=RangeJoinSpec(interval_paths=[], value_col="v"),
+            )
+        )
+    with pytest.raises(SpecError, match="distinct"):
+        validate_spec(
+            PipelineSpec(
+                name="rj",
+                source=SourceSpec(paths=["x.parquet"]),
+                range_join=RangeJoinSpec(
+                    interval_paths=["i.parquet"], value_col="v",
+                    lo_col="lo", hi_col="lo",
+                ),
+            )
+        )
+
+
+def test_spec_ngram_df_cap_passthrough(ray_session):
+    """dedup kind=ngram honors df_cap from JSON (boilerplate corpus
+    completes under the spec path too)."""
+    import ray.data
+
+    spec_json = {
+        "name": "ng",
+        "source": {"paths": [f"{SF}/documents.parquet"], "tokenize": False,
+                   "columns": ["doc_id", "text"]},
+        "dedup": {"kind": "ngram", "threshold": 0.5, "df_cap": 64},
+    }
+    spec = PipelineSpec.from_json(json.dumps(spec_json))
+    assert spec.dedup.df_cap == 64
+    got = build_pipeline(spec).to_pandas()
+    from dataflowkit_ray.pipelines.training import q_ngram_jaccard_pairs
+
+    exp = q_ngram_jaccard_pairs(SF).to_pandas()  # df_cap=512; 500-doc corpus
+    key = ["doc_a", "doc_b"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True),
+    )
