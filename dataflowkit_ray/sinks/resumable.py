@@ -39,6 +39,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from dataflowkit_ray.errors import StateError
 from dataflowkit_ray.sinks.exactly_once import (
     _atomic_write_json,
     atomic_write_parquet as _atomic_write_table,
@@ -109,7 +110,7 @@ def resumable_shard_map(
             m["path"] != shards[i]["path"]
             or int(m["row_group"]) != int(shards[i]["row_group"])
         ):
-            raise ValueError(
+            raise StateError(
                 f"resumable_shard_map: marker {_marker_name(i)} covers "
                 f"({m['path']!r}, row_group={m['row_group']}) but the "
                 f"current input assigns shard {i} "
@@ -207,7 +208,7 @@ def write_partitioned(
         with open(meta_path) as f:
             prev = json.load(f)
         if prev != meta:
-            raise ValueError(
+            raise StateError(
                 f"write_partitioned: {out_dir!r} was written with "
                 f"n_parts={prev['n_parts']}, key_cols={prev['key_cols']} "
                 f"but this run asked for n_parts={meta['n_parts']}, "

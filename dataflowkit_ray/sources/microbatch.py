@@ -73,7 +73,17 @@ def read_chunk_table(
     except Exception:
         if fallback is None:
             raise
-        t = fallback(spec, columns)
+        try:
+            t = fallback(spec, columns)
+        except Exception as ex2:
+            from dataflowkit_ray.errors import RetryableIOError
+
+            # both codecs failed: typed as RETRYABLE — re-running the
+            # same chunk may succeed (transient I/O), unlike a bad spec
+            raise RetryableIOError(
+                f"chunk {spec['file']}#rg{spec['row_group']}: primary and "
+                f"fallback codecs both failed ({type(ex2).__name__}: {ex2})"
+            ) from ex2
     n = len(t)
     t = t.append_column(
         "partition_id", pa.array([spec["partition_id"]] * n, pa.int32())

@@ -18,11 +18,13 @@ from __future__ import annotations
 import json
 from dataclasses import asdict, dataclass, field
 
+from dataflowkit_ray.errors import BadRequest
 from dataflowkit_ray.stages.scalars import FILTERS
 
 
-class SpecError(ValueError):
-    """Invalid pipeline spec (the checkPayload analog)."""
+class SpecError(BadRequest, ValueError):
+    """Invalid pipeline spec (the checkPayload analog) — a
+    :class:`~dataflowkit_ray.errors.BadRequest`: never retryable."""
 
 
 @dataclass
