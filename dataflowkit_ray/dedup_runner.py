@@ -56,8 +56,13 @@ class DedupStreamRunner:
         chunks_per_epoch: int = 1,
         target_rows: int = 128,
         discover: str | None = None,
+        retention_epochs: int | None = None,
     ):
         self.n_shards = n_shards
+        # None = exact dedup (state grows with distinct keys); an int
+        # turns on bounded windowed dedup with emit-on-evict semantics
+        # (state/dedup_store.py module docstring)
+        self.retention_epochs = retention_epochs
         self._source_kwargs = dict(
             n_partitions=n_partitions,
             chunks_per_epoch=chunks_per_epoch,
@@ -72,7 +77,9 @@ class DedupStreamRunner:
     def run(self, max_epochs: int | None = None, on_epoch=None) -> dict:
         from dataflowkit_ray.state.store import shard_pool
 
-        shards = shard_pool(DedupStateShard, "dedup", self.n_shards)
+        shards = shard_pool(
+            DedupStateShard, "dedup", self.n_shards, self.retention_epochs
+        )
         latest = self.ckpt.latest()
         finalized = False
         if latest is not None:
@@ -112,7 +119,22 @@ class DedupStreamRunner:
                 specs,
                 make_chunk_process([shards], self.n_shards, epoch, project_docs),
             )
-            ray.get([s.seal.remote(epoch) for s in shards])
+            if self.retention_epochs is not None:
+                # emit-on-evict: expired keys become this epoch's sink
+                # parts (each shard writes its own; manifests only here)
+                parts = ray.get(
+                    [
+                        s.seal_evict_to_sink.remote(
+                            epoch, self.sink.parts_dir, i
+                        )
+                        for i, s in enumerate(shards)
+                    ]
+                )
+                self.sink.publish_epoch(
+                    epoch, [p for p in parts if p], extra={"offsets": new_offsets}
+                )
+            else:
+                ray.get([s.seal.remote(epoch) for s in shards])
             offsets = new_offsets
             self.ckpt.write(
                 epoch,

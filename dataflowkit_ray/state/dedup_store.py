@@ -18,6 +18,18 @@ distinct doc per shard).  Checkpoints snapshot the full per-shard array
 per epoch; at very long streams a delta/compaction scheme (or the diskv
 TTL backend in ``state/store.py``) would amortize that — documented
 trade for bit-identical crash-resume.
+
+**Retention knob** (``retention_epochs``): an unbounded stream cannot
+keep every key forever, so the knob turns exact dedup into WINDOWED
+dedup with stated semantics: a key not seen for ``retention_epochs``
+epochs is FINAL — its (min doc_id, n_copies) row is emitted to the sink
+at eviction time, its state freed, and a later re-occurrence of the
+same content starts a NEW row (duplicates farther apart than the
+retention window are not folded — the standard streaming-dedup trade,
+cf. Flink state TTL).  ``retention_epochs=None`` (default) keeps the
+exact, grows-with-distinct-keys behavior; the ``streaming_dedup``
+oracle runs that exact mode.  Eviction is deterministic in (state,
+epoch), so crash-replay rewrites identical parts.
 """
 
 from __future__ import annotations
@@ -31,9 +43,11 @@ from dataflowkit_ray.state.store import StagingBuffer, np_int64
 
 @ray.remote
 class DedupStateShard:
-    def __init__(self):
-        # (lane1, lane2) 128-bit content key -> [min doc_id, copies]
+    def __init__(self, retention_epochs: int | None = None):
+        # (lane1, lane2) 128-bit content key -> [min doc_id, copies,
+        # last_seen_epoch]
         self.state: dict[tuple[int, int], list[int]] = {}
+        self.retention = retention_epochs
         self.last_applied: int = -1
         self.staging = StagingBuffer()
         from dataflowkit_ray.state.store import warm_arrow_kernels
@@ -56,10 +70,38 @@ class DedupStateShard:
         self.last_applied = epoch
         if t is None:
             return {"rows": 0}
-        self._merge_table(t)
+        self._merge_table(t, epoch)
         return {"rows": len(t)}
 
-    def _merge_table(self, t: pa.Table) -> None:
+    def seal_evict_to_sink(
+        self, epoch: int, parts_dir: str, part_idx: int
+    ) -> dict | None:
+        """Seal the epoch, then (retention mode) evict every key not
+        seen within ``retention_epochs`` and write the evicted rows as
+        this shard's epoch sink part — emit-on-evict windowed-dedup
+        semantics (module docstring).  Deterministic in (state, epoch):
+        a crash-replay recomputes the identical part."""
+        from dataflowkit_ray.sinks.exactly_once import write_sink_part
+
+        self.seal(epoch)
+        if self.retention is None:
+            return None
+        cutoff = epoch - self.retention
+        expired = [k for k, v in self.state.items() if v[2] <= cutoff]
+        if not expired:
+            return None
+        rows = sorted((self.state[k][0], self.state[k][1]) for k in expired)
+        for k in expired:
+            del self.state[k]
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "n_copies": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        return write_sink_part(parts_dir, epoch, part_idx, t)
+
+    def _merge_table(self, t: pa.Table, epoch: int) -> None:
         """Vectorized epoch merge: one in-batch (128-bit key -> min id,
         count) reduction in numpy, then Python only over DISTINCT keys
         for the state-dict update (the session-shard idiom).  Identity =
@@ -83,11 +125,12 @@ class DedupStateShard:
         ):
             cur = st.get((hh, hh2))
             if cur is None:
-                st[(hh, hh2)] = [mi, int(c)]
+                st[(hh, hh2)] = [mi, int(c), epoch]
             else:
                 if mi < cur[0]:
                     cur[0] = mi
                 cur[1] += int(c)
+                cur[2] = epoch
 
     def final_to_sink(self, parts_dir: str, epoch: int, part_idx: int) -> dict | None:
         """Write this shard's (doc_id, n_copies) rows, sorted by doc_id,
@@ -114,14 +157,21 @@ class DedupStateShard:
             "h2": np.fromiter((k[1] for k, _ in items), np.int64, len(self.state)),
             "mid": np.fromiter((v[0] for _, v in items), np.int64, len(self.state)),
             "cnt": np.fromiter((v[1] for _, v in items), np.int64, len(self.state)),
+            "seen": np.fromiter((v[2] for _, v in items), np.int64, len(self.state)),
         }
 
     def restore(self, snap: dict) -> None:
         self.last_applied = snap["last_applied"]
         self.state = {
-            (int(k), int(k2)): [int(m), int(c)]
-            for k, k2, m, c in zip(snap["h"], snap["h2"], snap["mid"], snap["cnt"])
+            (int(k), int(k2)): [int(m), int(c), int(e)]
+            for k, k2, m, c, e in zip(
+                snap["h"], snap["h2"], snap["mid"], snap["cnt"], snap["seen"]
+            )
         }
 
     def stats(self) -> dict:
-        return {"distinct": len(self.state), "last_applied": self.last_applied}
+        return {
+            "distinct": len(self.state),
+            "last_applied": self.last_applied,
+            "retention": self.retention,
+        }

@@ -29,3 +29,9 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-run soak tests (50+ streaming epochs at sf0.1)"
+    )

@@ -59,3 +59,59 @@ def test_streaming_dedup_rerun_is_idempotent(ray_session, tmp_path):
     assert _read_out(wd) == before
     for f, old in mt.items():
         assert os.stat(os.path.join(wd, "dedup", "parts", f)).st_mtime_ns == old
+
+
+def test_retention_burst_semantics(ray_session, tmp_path):
+    """Windowed-dedup semantics are STATED, not fuzzy: duplicates closer
+    than the retention window fold into one row; re-occurrences farther
+    apart start a new row (emit-on-evict).  retention=None stays exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataflowkit_ray.dedup_runner import DedupStreamRunner
+    from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+
+    # 160 rows, 10 per epoch (4 partitions x 1 chunk x ~2-3 rows... use
+    # target_rows=10 with n_partitions=4): "dup" appears at rows 0, 1
+    # (same burst) and again at row 150 (>> retention epochs later)
+    texts = [f"filler row {i}" for i in range(160)]
+    texts[0] = texts[1] = "dup text"
+    texts[150] = "dup text"
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(160), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+
+    wd = str(tmp_path / "ret")
+    DedupStreamRunner(
+        [p], wd, n_shards=2, target_rows=10, retention_epochs=2
+    ).run()
+    out = (
+        ExactlyOnceSink(f"{wd}/dedup")
+        .read_committed_table()
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.n_copies.sum() == 160
+    dups = out[out.doc_id.isin([0, 150])]
+    assert dups.doc_id.tolist() == [0, 150]  # two bursts -> two rows
+    assert dups.n_copies.tolist() == [2, 1]
+    assert len(out) == 159  # 157 fillers + 2 dup bursts ... = 159
+
+    # exact mode (retention=None): one row, all three copies folded
+    wd2 = str(tmp_path / "exact")
+    DedupStreamRunner([p], wd2, n_shards=2, target_rows=10).run()
+    out2 = (
+        ExactlyOnceSink(f"{wd2}/dedup")
+        .read_committed_table()
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out2) == 158  # 157 fillers + 1 dup row
+    assert out2[out2.doc_id == 0].n_copies.tolist() == [3]
