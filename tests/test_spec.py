@@ -1016,3 +1016,18 @@ def test_spec_ngram_df_cap_passthrough(ray_session):
         got.sort_values(key).reset_index(drop=True),
         exp.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_all_example_specs_parse_and_validate():
+    """Every shipped examples/*.json must parse and pass validate_spec
+    (they are the user-facing documentation of the spec surface)."""
+    import glob
+    import os
+
+    files = sorted(glob.glob("/root/repo/examples/*.json"))
+    assert len(files) >= 12
+    for f in files:
+        with open(f) as fh:
+            spec = PipelineSpec.from_json(fh.read())
+        validate_spec(spec)
+        assert spec.name, os.path.basename(f)
