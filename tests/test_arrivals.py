@@ -51,8 +51,15 @@ def test_rescan_appends_stable_tail(tmp_path):
     assert new[0].seq == len(before)
     assert new[0].global_row_start == sum(c.n_rows for c in before)
     assert src.total_rows() == 500
-    # watermark stays monotone across the append
-    offsets = [len(p) for p in src.by_partition]  # pretend first half done
+    # watermark stays monotone across an append: with the first half
+    # fully consumed, the frontier before the arrival is total_rows(A);
+    # after the arrival it must not regress below that
+    before_chunks = len(before)
+    offsets = [
+        sum(1 for c in p if c.seq < before_chunks) for p in src.by_partition
+    ]
+    wm_after = src.watermark(offsets)
+    assert wm_after == 250  # == total_rows of the first half, not less
 
 
 def test_arrivals_mid_run_equal_batch(ray_session, tmp_path):
