@@ -210,6 +210,25 @@ def _ensure_multifile(sf_dir: str, n_parts: int = 16) -> str:
         return sf_dir  # already the multi-file shape
     sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
     dst = f"/tmp/bench_multi_{sfname}"
+    # cache identity: the cached copy is only valid for THIS source file
+    # (absolute path + size + mtime) and layout — a regenerated corpus,
+    # or two sf dirs sharing a basename, must rebuild rather than let
+    # write_partitioned's resume no-op silently bench stale documents
+    st = os.stat(files[0])
+    fingerprint = {
+        "source": os.path.abspath(files[0]),
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "n_parts": n_parts,
+        "sf_dir": os.path.abspath(sf_dir),
+    }
+    fp_path = f"{dst}/_source_meta.json"
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            if json.load(f) != fingerprint:
+                import shutil
+
+                shutil.rmtree(dst)
     os.makedirs(dst, exist_ok=True)
     owns = not ray.is_initialized()
     if owns:
@@ -226,6 +245,8 @@ def _ensure_multifile(sf_dir: str, n_parts: int = 16) -> str:
         link = f"{dst}/{t}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{sf_dir}/{t}.parquet", link)
+    with open(fp_path, "w") as f:
+        json.dump(fingerprint, f)
     return dst
 
 

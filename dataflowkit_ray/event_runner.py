@@ -60,7 +60,13 @@ def project_events(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def make_chunk_process(shard_groups: list[list], n_shards: int, epoch: int, project):
+def make_chunk_process(
+    shard_groups: list[list],
+    n_shards: int,
+    epoch: int,
+    project,
+    late_floor: int | None = None,
+):
     """Per-chunk task body (``MicroBatchSource.run_epoch``): project the
     chunk's rows and route them to shard actors DIRECTLY — the task is
     the data plane; the driver never holds rows.
@@ -69,15 +75,33 @@ def make_chunk_process(shard_groups: list[list], n_shards: int, epoch: int, proj
     _chunk_row)`` — deterministic, so a retried task re-sends the same
     keys harmlessly.  ``shard_groups`` is a list of actor LISTS: every
     actor in group i receives shard i's sub-batch (e.g. session + CEP
-    shards).  Blocks on the acks so epoch consumption implies delivery."""
+    shards).  Blocks on the acks so epoch consumption implies delivery.
+
+    ``late_floor``: the watermark committed at the end of the PREVIOUS
+    epoch.  Rows with ``clock < late_floor`` are LATE — sessions at or
+    before that clock may already be closed and sunk, so admitting them
+    would mint spurious second sessions.  They are dropped here (counted
+    in the ack's ``late``) exactly like ``WindowStateShard.late_rows``
+    in the windowed runner.  On an in-order stream this mask never
+    fires (the watermark trails every unread chunk's first clock); it
+    exists for ``discover=`` streams where a newly-arrived file may
+    carry clocks older than work already committed."""
     from dataflowkit_ray.stages.windows import bucket_of
     from dataflowkit_ray.state.store import table_to_bytes
 
     def process(spec: dict, t: pa.Table) -> dict:
         refs = []
+        late = 0
         n_rows = len(t)
         if n_rows:
             sub = project(t)
+            if late_floor is not None:
+                late_mask = pc.less(sub["clock"], pa.scalar(late_floor, pa.int64()))
+                late = int(pc.sum(late_mask).as_py() or 0)
+                if late:
+                    sub = sub.filter(pc.invert(late_mask))
+                    if not len(sub):
+                        return {"rows": n_rows, "late": late}
             sh = bucket_of(sub["key"], n_shards)
             payload = sub.drop_columns(
                 [c for c in ("chunk_seq", "_chunk_row") if c in sub.column_names]
@@ -91,7 +115,7 @@ def make_chunk_process(shard_groups: list[list], n_shards: int, epoch: int, proj
                 for group in shard_groups:
                     refs.append(group[shard_i].stage.remote(epoch, ckey, blob))
         ray.get(refs)
-        return {"rows": n_rows}
+        return {"rows": n_rows, "late": late}
 
     return process
 
@@ -143,6 +167,7 @@ class EventStreamRunner:
             offsets = meta["offsets"]
             epoch = meta["epoch"] + 1
             finalized = meta.get("final", False)
+            prev_wm = meta.get("watermark")
             # arrival order is stream identity (see StreamingRunner.run)
             if meta.get("files") and meta["files"] != self.source.files:
                 self.source = MicroBatchSource(
@@ -165,8 +190,10 @@ class EventStreamRunner:
         else:
             offsets = self.source.initial_offsets()
             epoch = 0
+            prev_wm = None
 
         ran = 0
+        late_events = 0
         while True:
             # runtime work discovery between epochs (no-op w/o discover=;
             # a finalized stream is closed — see StreamingRunner.run)
@@ -179,12 +206,14 @@ class EventStreamRunner:
             specs, new_offsets = self.source.next_slice(offsets)
             # data plane: one task per chunk -> project -> route to shard
             # actors INSIDE the task; the driver sees only ack dicts
-            self.source.run_epoch(
+            acks = self.source.run_epoch(
                 specs,
                 make_chunk_process(
-                    [sessions, ceps], self.n_shards, epoch, project_events
+                    [sessions, ceps], self.n_shards, epoch, project_events,
+                    late_floor=prev_wm,
                 ),
             )
+            late_events += sum(a.get("late", 0) for a in acks)
             ray.get([s.seal.remote(epoch) for s in sessions])
             # each CEP shard writes its OWN match sink part (rows never
             # transit the driver); only part metadata comes back
@@ -196,8 +225,17 @@ class EventStreamRunner:
             )
 
             offsets = new_offsets
+            # MONOTONE watermark: a file discovered mid-run may carry
+            # clocks older than the committed frontier, which would drag
+            # min-over-partitions backwards; a regressed wm in manifests/
+            # checkpoints is meaningless (work behind it is already
+            # sunk), so clamp to the last committed value — the rows
+            # behind it were dropped as late above
             wm = self.source.watermark_clock(offsets)
+            if prev_wm is not None:
+                wm = max(wm, prev_wm)
             self._commit(epoch, wm, offsets, sessions, ceps, match_parts)
+            prev_wm = wm
             if on_epoch is not None:
                 on_epoch(epoch, {"chunks": len(specs)})
             ran += 1
@@ -213,6 +251,7 @@ class EventStreamRunner:
         stats = ray.get([s.stats.remote() for s in sessions])
         return {
             "epochs": epoch,
+            "late_events": late_events,
             "open_sessions": sum(s["open_sessions"] for s in stats),
             "sessions_out": sum(
                 self.session_sink.manifest(e)["rows"]

@@ -216,12 +216,30 @@ def write_partitioned(
                 "meaningless under a different hash layout. Use a fresh "
                 "out_dir (or resume=False) to recompute."
             )
+    elif resume and finished_shards(out_dir):
+        # markers exist but there is no layout pin: a directory written
+        # before the meta file existed (or by something else).  The hash
+        # modulus those markers were committed under is unverifiable —
+        # stamping the NEW layout over them would silently mask buckets
+        # whose ids collide across layouts (the exact corruption the
+        # guard exists to prevent), so refuse.
+        raise StateError(
+            f"write_partitioned: {out_dir!r} has committed markers but no "
+            "_partition_meta.json pinning their (n_parts, key_cols) "
+            "layout — cannot verify they match this run. Recompute with "
+            "resume=False (or use a fresh out_dir)."
+        )
     else:
-        # fresh run (or resume=False recompute): stale markers from any
-        # previous layout would poison a LATER resume — drop them first
+        # fresh run (or resume=False recompute): stale markers AND stale
+        # part data from any previous layout must go — markers would
+        # poison a LATER resume, and orphaned part-*.parquet from a
+        # larger old n_parts would be swept up by glob-based readers
+        # (documents_files, DuckDB views) alongside the new parts
         if not resume:
             for name in os.listdir(out_dir):
-                if name.startswith("done-") and name.endswith(".json"):
+                stale_marker = name.startswith("done-") and name.endswith(".json")
+                stale_part = name.startswith("part-") and name.endswith(".parquet")
+                if stale_marker or stale_part:
                     os.remove(os.path.join(out_dir, name))
         _atomic_write_json(meta_path, meta)
     done = finished_shards(out_dir) if resume else {}

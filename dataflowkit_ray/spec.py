@@ -626,46 +626,58 @@ def build_pipeline(spec: PipelineSpec):
             out = out.select_columns(src.columns)
         return out
 
-    ds = read_source()
+    # source catalog for the policy stage, computed ONCE even when the
+    # row-stage chain is built twice (heavy_hitters' second pass) — a
+    # pruned metadata-scale read; deriving it via token_ds.unique()
+    # would re-execute the read+tokenize lineage a second time (the
+    # measured branched-lineage pitfall)
+    policy_srcs = None
+    if spec.policy and spec.policy.enabled and src.format == "parquet":
+        policy_srcs = ray.data.read_parquet(src.paths, columns=["source"]).unique(
+            "source"
+        )
 
-    if src.tokenize:
-        ds = ds.map_batches(tokenize_documents, batch_format="pyarrow")
+    def prepare():
+        """The row-stage chain every terminal consumes: read -> tokenize
+        -> policy -> throttle -> filters.  A closure (not a Dataset)
+        because a Dataset lineage is single-consume — two-pass terminals
+        like heavy_hitters call this twice and each pass re-applies the
+        SAME declared stages (a spec's filters apply to its terminal's
+        input, whichever terminal that is)."""
+        out = read_source()
+        if src.tokenize:
+            out = out.map_batches(tokenize_documents, batch_format="pyarrow")
+        if spec.policy and spec.policy.enabled:
+            from dataflowkit_ray.stages.policy import source_policy_filter
+
+            out = source_policy_filter(
+                out, sources=policy_srcs, concurrency=spec.policy.concurrency
+            )
+        if spec.throttle:
+            from dataflowkit_ray.stages.policy import throttle as _throttle
+
+            out = _throttle(
+                out, spec.throttle.rows_per_sec,
+                concurrency=spec.throttle.concurrency,
+            )
+        for f in spec.filters:
+            out = out.map_batches(
+                filters_stage(f.column, list(f.chain), f.out),
+                batch_format="pyarrow",
+            )
+        return out
+
+    ds = prepare()
 
     if spec.heavy_hitters:
         from dataflowkit_ray.stages.sketch import cms_heavy_hitters
 
         hh = spec.heavy_hitters
-        # pass 2 re-reads the source (a Dataset lineage is single-consume;
-        # same two-read shape as the query registry's q_heavy_hitters)
+        # pass 2 rebuilds the full prepared chain (same two-read shape
+        # as the query registry's q_heavy_hitters) so declared policy/
+        # throttle/filter stages apply to BOTH passes
         return cms_heavy_hitters(
-            ds, read_source(), k=hh.k, depth=hh.depth, width=hh.width
-        )
-
-    if spec.policy and spec.policy.enabled:
-        from dataflowkit_ray.stages.policy import source_policy_filter
-
-        # source catalog from a pruned metadata-scale read — deriving it
-        # via token_ds.unique() would re-execute the read+tokenize
-        # lineage a second time (the measured branched-lineage pitfall)
-        srcs = None
-        if src.format == "parquet":
-            srcs = ray.data.read_parquet(src.paths, columns=["source"]).unique(
-                "source"
-            )
-        ds = source_policy_filter(
-            ds, sources=srcs, concurrency=spec.policy.concurrency
-        )
-
-    if spec.throttle:
-        from dataflowkit_ray.stages.policy import throttle as _throttle
-
-        ds = _throttle(
-            ds, spec.throttle.rows_per_sec, concurrency=spec.throttle.concurrency
-        )
-
-    for f in spec.filters:
-        ds = ds.map_batches(
-            filters_stage(f.column, list(f.chain), f.out), batch_format="pyarrow"
+            ds, prepare(), k=hh.k, depth=hh.depth, width=hh.width
         )
 
     if spec.dedup:

@@ -88,30 +88,40 @@ def shard_pool(actor_cls, name: str, n: int, *args) -> list:
     keyed by (name, n) and reused across runs in the same driver
     session; ``reset(*args)`` re-runs ``__init__`` so each run starts
     from empty state (resumed runs then ``restore`` their checkpoint on
-    top, exactly as with fresh actors).  Dead handles (e.g. after a
-    ``ray.shutdown``/``ray.init`` cycle in tests) are detected and the
-    pool respawned; any other reset failure (bad ctor args, a bug in
-    ``reset``) propagates instead of silently leaking live actors.  The
-    pool key includes the actor class so a name reuse across classes
-    cannot hand back actors of the wrong type."""
+    top, exactly as with fresh actors).  Staleness is detected two ways:
+    a pool cached under a DIFFERENT Ray session (a ``ray.shutdown``/
+    ``ray.init`` cycle invalidates every handle, and calling into a
+    stale handle raises a plain ``Exception`` — not ``RayActorError`` —
+    so exception-type sniffing cannot catch it) is dropped without being
+    called; a same-session pool whose actors died raises
+    ``RayActorError`` from ``reset`` and is respawned.  Any other reset
+    failure (bad ctor args, a bug in ``reset``) propagates instead of
+    silently leaking live actors.  The pool key includes the actor class
+    so a name reuse across classes cannot hand back actors of the wrong
+    type."""
     import ray
 
+    session = ray.get_runtime_context().get_job_id()
     key = (actor_cls, name, n)
-    pool = _POOLS.get(key)
-    if pool is not None:
-        try:
-            ray.get([a.reset.remote(*args) for a in pool])
-            return pool
-        except ray.exceptions.RayActorError:
-            # dead pool (new ray session / killed actors) -> respawn.
-            # Best-effort kill in case only SOME actors died.
-            for a in pool:
-                try:
-                    ray.kill(a)
-                except Exception:
-                    pass
+    cached = _POOLS.get(key)
+    if cached is not None:
+        pool_session, pool = cached
+        if pool_session == session:
+            try:
+                ray.get([a.reset.remote(*args) for a in pool])
+                return pool
+            except ray.exceptions.RayActorError:
+                # dead pool (killed actors) -> respawn.  Best-effort
+                # kill in case only SOME actors died.
+                for a in pool:
+                    try:
+                        ray.kill(a)
+                    except Exception:
+                        pass
+        # else: handles from a previous Ray session — unusable, nothing
+        # to kill (that session's actor processes are gone); respawn.
     pool = [spawn_shard(actor_cls, *args) for _ in range(n)]
-    _POOLS[key] = pool
+    _POOLS[key] = (session, pool)
     return pool
 
 

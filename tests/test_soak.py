@@ -96,8 +96,9 @@ def test_dedup_runner_soak_retention_bounds_state(ray_session, tmp_path):
 
     def hook(epoch, info):
         _epoch_timer_hook(epoch, info)
-        pool = _POOLS.get((DedupStateShard, "dedup", n_shards))
-        if pool is not None and epoch % 5 == 0:
+        cached = _POOLS.get((DedupStateShard, "dedup", n_shards))
+        if cached is not None and epoch % 5 == 0:
+            _session, pool = cached
             stats = ray.get([s.stats.remote() for s in pool])
             peaks.append(sum(s["distinct"] for s in stats))
 
