@@ -182,14 +182,14 @@ def q_top_orders(sf_dir: str):
     Shapes on display: the customer dimension is a BROADCAST semi-join
     (catalog-scale read, ``ray.put`` once, ``np.isin`` per batch — never
     a shuffle); lineitem pre-aggregates revenue per order through
-    ``hash_agg`` BEFORE the join (combiner-first rule); the order×revenue
-    join is the generic :func:`bucket_equi_join`; the final top-k sorts
-    only the (small) joined aggregate."""
+    per-batch partials BEFORE any exchange (combiner-first rule); the
+    aggregate's combine AND the order×revenue join share ONE tagged
+    bucket shuffle (:func:`~dataflowkit_ray.stages.join.bucket_join_agg`
+    — both are keyed by o_orderkey); the final top-k sorts only the
+    (small) joined aggregate."""
     import ray
 
     import pyarrow.parquet as pq
-
-    from dataflowkit_ray.stages.join import bucket_equi_join
 
     date = _us(_Q3_DATE)
 
@@ -227,16 +227,21 @@ def q_top_orders(sf_dir: str):
             }
         )
 
-    revenue = hash_agg(
+    # aggregate + join through ONE exchange (both are keyed by
+    # o_orderkey): lineitem's per-batch revenue partials ride the join's
+    # tagged bucket shuffle and the fold finishes the combine before the
+    # local Acero join — half the all-to-alls of hash_agg-then-join
+    from dataflowkit_ray.stages.join import bucket_join_agg
+
+    joined = bucket_join_agg(
+        orders,
         _read(
             sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
         ).map_batches(project_lineitem, batch_format="pyarrow"),
-        ("o_orderkey",),
-        [("revenue_c", "sum", "revenue_c")],
+        on="o_orderkey",
+        specs=[("revenue_c", "sum", "revenue_c")],
         n_buckets=16,
     )
-
-    joined = bucket_equi_join(orders, revenue, on="o_orderkey", n_buckets=16)
 
     # scale-correct top-k: block-local top-10 partials (vectorized
     # lexsort), then ONE tiny merge — a global sort of the joined

@@ -301,6 +301,107 @@ def bucket_equi_join(
     return tagged.groupby("_bucket").map_groups(fold, batch_format="pyarrow")
 
 
+def bucket_join_agg(
+    left_ds,
+    right_ds,
+    on: str,
+    specs: list[tuple[str, str, str]],
+    *,
+    n_buckets: int = 32,
+    join_type: str = "inner",
+):
+    """Fused aggregate-then-join: equivalent to
+    ``bucket_equi_join(left_ds, hash_agg(right_ds, (on,), specs), on)``
+    but through ONE exchange instead of two.
+
+    The aggregate-then-join shape (TPC-H Q3: revenue per order, joined
+    to orders) normally pays two all-to-alls keyed by the SAME column —
+    the aggregate's sort shuffle and the join's.  Here the right side is
+    combined map-side (one row per key per batch, the standard combiner),
+    TAGGED, and unioned with the left rows into the join's single
+    bucket exchange; the per-bucket fold finishes the combine (merge of
+    per-batch partials) before the local Acero hash join.  Exchange
+    bytes strictly shrink: right partials travel once instead of
+    partials + finished aggregates.
+
+    ``specs`` = [(col, fn, out_name)] with fn in sum/count/min/max (mean
+    needs a finalize division — use ``hash_agg`` + ``bucket_equi_join``
+    for that).  Same disjoint-columns contract as
+    :func:`bucket_equi_join`."""
+    from dataflowkit_ray.stages.agg import _MERGE, agg_names, checked_rename
+    from dataflowkit_ray.stages.windows import bucket_of
+
+    if any(fn == "mean" for _, fn, _ in specs):
+        raise ValueError("bucket_join_agg: mean needs hash_agg + bucket_equi_join")
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    lcols = list(lschema.names)
+    out_names = [out for _, _, out in specs]
+    shared = set(lcols) & set(out_names)
+    if shared:
+        raise ValueError(f"bucket_join_agg: overlapping non-key columns {shared}")
+    partial_names = [f"__p{i}" for i in range(len(specs))]
+    part_aggs = [(c, fn) for c, fn, _ in specs]
+    merge_aggs = [(p, _MERGE[fn]) for p, (_, fn, _) in zip(partial_names, specs)]
+
+    # partial-column TYPES for the left side's null padding, derived by
+    # running the combine on an empty right-schema table (Arrow promotes
+    # e.g. sum(int32) -> int64; guessing would mis-type the union)
+    empty_r = pa.Table.from_pylist(
+        [], schema=pa.schema(list(zip(rschema.names, rschema.types)))
+    )
+    probe = empty_r.group_by([on]).aggregate(part_aggs)
+    probe = checked_rename(probe, agg_names([on], part_aggs), [on] + partial_names)
+    ptypes = {p: probe.schema.field(p).type for p in partial_names}
+
+    ltypes = dict(zip(lschema.names, lschema.types))
+    all_cols = lcols + out_names
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        out = {}
+        for c in lcols:
+            col = t[c]
+            out[c] = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        for p in partial_names:
+            out[p] = pa.nulls(n, ptypes[p])
+        out["_side"] = pa.array(np.full(n, 0, dtype=np.int8))
+        out["_bucket"] = pa.array(bucket_of(t[on], n_buckets))
+        return pa.table(out)
+
+    def combine_tag_right(t: pa.Table) -> pa.Table:
+        used = [on] + sorted({c for c, _, _ in specs})
+        g = t.select(used).group_by([on]).aggregate(part_aggs)
+        g = checked_rename(g, agg_names([on], part_aggs), [on] + partial_names)
+        n = len(g)
+        out = {}
+        for c in lcols:
+            if c == on:
+                col = g[on]
+                out[c] = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            else:
+                out[c] = pa.nulls(n, ltypes[c])
+        for p in partial_names:
+            out[p] = g[p]
+        out["_side"] = pa.array(np.full(n, 1, dtype=np.int8))
+        out["_bucket"] = pa.array(bucket_of(g[on], n_buckets))
+        return pa.table(out)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(combine_tag_right, batch_format="pyarrow")
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_bucket"])
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).select(lcols)
+        rp = t.filter(pa.array(side == 1)).select([on, *partial_names])
+        g = rp.group_by([on]).aggregate(merge_aggs)
+        g = checked_rename(g, agg_names([on], merge_aggs), [on] + out_names)
+        return lt.join(g, keys=[on], join_type=join_type).select(all_cols)
+
+    return tagged.groupby("_bucket").map_groups(fold, batch_format="pyarrow")
+
+
 def join_details(
     parent_ds,
     child_ds,

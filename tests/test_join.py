@@ -193,3 +193,53 @@ def test_range_join_matches_brute_force(ray_session):
     out = range_join(ds, ivs_t, "v").to_pandas()
     got2 = sorted(zip(out.rid, out.tag))
     assert got2 == sorted((r, f"w{i}") for r, i in exp)
+
+
+def test_bucket_join_agg_equals_agg_then_join(ray_session):
+    """The fused single-exchange aggregate+join must equal
+    hash_agg -> bucket_equi_join (including int32 partial-type promotion
+    and keys present on only one side)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from dataflowkit_ray.stages.agg import hash_agg
+    from dataflowkit_ray.stages.join import bucket_equi_join, bucket_join_agg
+
+    rng = np.random.default_rng(11)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 200, 300, dtype=np.int64)),
+            "lv": pa.array(np.arange(300, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            # int32 value column: Arrow promotes sum(int32) -> int64, the
+            # null-padding type probe must follow
+            "k": pa.array(rng.integers(100, 300, 2000, dtype=np.int64)),
+            "v": pa.array(rng.integers(0, 50, 2000).astype(np.int32)),
+        }
+    )
+    lds = ray.data.from_arrow(left).repartition(5)
+
+    def rds():
+        return ray.data.from_arrow(right).repartition(7)
+
+    specs = [("v", "sum", "v_sum"), ("v", "max", "v_max"), ("v", "count", "n")]
+    for jt in ("inner", "left outer"):
+        got = (
+            bucket_join_agg(lds, rds(), on="k", specs=specs, n_buckets=8, join_type=jt)
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        agg = hash_agg(rds(), ("k",), specs, n_buckets=8)
+        want = (
+            bucket_equi_join(lds, agg, on="k", n_buckets=8, join_type=jt)
+            .to_pandas()[got.columns.tolist()]
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
