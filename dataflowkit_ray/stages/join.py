@@ -416,24 +416,22 @@ def join_details(
     """
     if with_struct:
         return cogroup_join_structs(parent_ds, child_ds, key=key)
-    else:
-        # aggregate-only embed: two-phase bucket aggregate (hash_agg) —
-        # never Ray's per-group-python groupby (doc_id cardinality is the
-        # stream size).
-        from dataflowkit_ray.stages.agg import hash_agg
-
-        embedded = hash_agg(
-            child_ds,
-            (key,),
-            [
-                ("chunk_n_tok", "count", "n_details"),
-                ("chunk_n_tok", "sum", "sum_detail_tok"),
-            ],
-            n_buckets=num_partitions * 4,
-        )
+    # aggregate-only embed: the detail aggregate and the parent join are
+    # keyed by the SAME column, so both ride ONE tagged bucket exchange
+    # (bucket_join_agg) — per-batch combine map-side, final combine +
+    # Acero join in the fold.  Never Ray's per-group-python groupby
+    # (doc_id cardinality is the stream size).
     parent = parent_ds.drop_columns(["tokens"]) if "tokens" in parent_ds.schema().names else parent_ds
-    return bucket_equi_join(
-        parent, embedded, on=key, n_buckets=num_partitions, join_type="inner"
+    return bucket_join_agg(
+        parent,
+        child_ds,
+        on=key,
+        specs=[
+            ("chunk_n_tok", "count", "n_details"),
+            ("chunk_n_tok", "sum", "sum_detail_tok"),
+        ],
+        n_buckets=num_partitions,
+        join_type="inner",
     )
 
 
