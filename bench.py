@@ -223,12 +223,18 @@ def _ensure_multifile(sf_dir: str, n_parts: int = 16) -> str:
         "sf_dir": os.path.abspath(sf_dir),
     }
     fp_path = f"{dst}/_source_meta.json"
-    if os.path.exists(fp_path):
-        with open(fp_path) as f:
-            if json.load(f) != fingerprint:
-                import shutil
+    if os.path.isdir(dst):
+        # no fingerprint == an interrupted previous build (it is written
+        # only after a complete one): its committed markers would make
+        # the rebuild a resume over unknown-source parts, so wipe
+        stale = True
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                stale = json.load(f) != fingerprint
+        if stale:
+            import shutil
 
-                shutil.rmtree(dst)
+            shutil.rmtree(dst)
     os.makedirs(dst, exist_ok=True)
     owns = not ray.is_initialized()
     if owns:
@@ -243,8 +249,12 @@ def _ensure_multifile(sf_dir: str, n_parts: int = 16) -> str:
         "region nation customer supplier part orders lineitem events embeddings"
     ).split():
         link = f"{dst}/{t}.parquet"
-        if not os.path.exists(link):
-            os.symlink(f"{sf_dir}/{t}.parquet", link)
+        src_tbl = f"{sf_dir}/{t}.parquet"
+        # lexists, not exists: a dangling link reads as absent and the
+        # retried symlink would raise FileExistsError forever; and only
+        # link tables the source dir actually has
+        if os.path.exists(src_tbl) and not os.path.lexists(link):
+            os.symlink(src_tbl, link)
     with open(fp_path, "w") as f:
         json.dump(fingerprint, f)
     return dst

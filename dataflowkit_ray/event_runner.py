@@ -96,7 +96,13 @@ def make_chunk_process(
         if n_rows:
             sub = project(t)
             if late_floor is not None:
-                late_mask = pc.less(sub["clock"], pa.scalar(late_floor, pa.int64()))
+                # fill_null(True): a NULL clock cannot be placed on the
+                # event timeline, so once a floor exists it is dropped AS
+                # late (and counted) — Table.filter's null-drops would
+                # otherwise vanish such rows without accounting
+                late_mask = pc.fill_null(
+                    pc.less(sub["clock"], pa.scalar(late_floor, pa.int64())), True
+                )
                 late = int(pc.sum(late_mask).as_py() or 0)
                 if late:
                     sub = sub.filter(pc.invert(late_mask))

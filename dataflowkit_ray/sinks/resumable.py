@@ -204,6 +204,7 @@ def write_partitioned(
     # layout is pinned in a dir-level meta file and mismatches refuse.
     meta_path = os.path.join(out_dir, "_partition_meta.json")
     meta = {"n_parts": int(n_parts), "key_cols": list(key_cols)}
+    done = finished_shards(out_dir) if resume else {}
     if resume and os.path.exists(meta_path):
         with open(meta_path) as f:
             prev = json.load(f)
@@ -216,7 +217,7 @@ def write_partitioned(
                 "meaningless under a different hash layout. Use a fresh "
                 "out_dir (or resume=False) to recompute."
             )
-    elif resume and finished_shards(out_dir):
+    elif resume and done:
         # markers exist but there is no layout pin: a directory written
         # before the meta file existed (or by something else).  The hash
         # modulus those markers were committed under is unverifiable —
@@ -242,7 +243,6 @@ def write_partitioned(
                 if stale_marker or stale_part:
                     os.remove(os.path.join(out_dir, name))
         _atomic_write_json(meta_path, meta)
-    done = finished_shards(out_dir) if resume else {}
     done_ids = np.zeros(n_parts, dtype=bool)
     for i in done:
         done_ids[i] = True

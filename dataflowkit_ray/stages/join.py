@@ -264,6 +264,10 @@ def bucket_equi_join(
     shared = (set(lcols) & set(rcols)) - {on}
     if shared:
         raise ValueError(f"bucket_equi_join: overlapping non-key columns {shared}")
+    reserved = {"_side", "_bucket"} & (set(lcols) | set(rcols))
+    if reserved:
+        # the tag stage would silently overwrite them (dict-key collision)
+        raise ValueError(f"bucket_equi_join: reserved column names {reserved}")
     types = dict(zip(lschema.names, lschema.types))
     types.update(dict(zip(rschema.names, rschema.types)))
     r_only = [c for c in rcols if c != on]
@@ -340,6 +344,10 @@ def bucket_join_agg(
     if shared:
         raise ValueError(f"bucket_join_agg: overlapping non-key columns {shared}")
     partial_names = [f"__p{i}" for i in range(len(specs))]
+    reserved = (set(partial_names) | {"_side", "_bucket"}) & set(lcols)
+    if reserved:
+        # tag_left would silently null these out (dict-key collision)
+        raise ValueError(f"bucket_join_agg: reserved column names {reserved}")
     part_aggs = [(c, fn) for c, fn, _ in specs]
     merge_aggs = [(p, _MERGE[fn]) for p, (_, fn, _) in zip(partial_names, specs)]
 

@@ -101,7 +101,13 @@ def shard_pool(actor_cls, name: str, n: int, *args) -> list:
     type."""
     import ray
 
-    session = ray.get_runtime_context().get_job_id()
+    # cluster identity must be per-CLUSTER, not per-job: get_job_id()
+    # restarts from '01000000' after every ray.shutdown()/ray.init()
+    # cycle (verified), so job id alone would collide across cycles and
+    # hand back dead handles.  The GCS address changes with every local
+    # cluster (fresh port); job id disambiguates drivers within one.
+    ctx = ray.get_runtime_context()
+    session = (getattr(ctx, "gcs_address", None), ctx.get_job_id())
     key = (actor_cls, name, n)
     cached = _POOLS.get(key)
     if cached is not None:

@@ -43,6 +43,39 @@ def test_shard_pool_drops_pool_from_previous_ray_session(ray_session):
     assert new_session == session  # re-tagged to the live session
 
 
+def test_shard_pool_survives_real_shutdown_init_cycle():
+    """The REAL failure mode: job ids restart from '01000000' every
+    cluster, so the session tag must change across an actual
+    ray.shutdown()/ray.init() cycle (gcs address does; job id does not).
+    Runs in a subprocess to avoid touching the session fixture's
+    cluster."""
+    import subprocess
+    import sys
+
+    code = """
+import ray
+from dataflowkit_ray.state.session_store import SessionStateShard
+from dataflowkit_ray.state.store import shard_pool
+
+ray.init(address="local", num_cpus=2, include_dashboard=False)
+p1 = shard_pool(SessionStateShard, "cycle_pool", 2, 1000)
+ray.get([a.stats.remote() for a in p1])
+ray.shutdown()
+
+ray.init(address="local", num_cpus=2, include_dashboard=False)
+p2 = shard_pool(SessionStateShard, "cycle_pool", 2, 1000)  # must respawn
+ray.get([a.stats.remote() for a in p2])
+assert all(a is not b for a, b in zip(p1, p2))
+print("CYCLE_OK")
+ray.shutdown()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=180, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert "CYCLE_OK" in out.stdout, out.stderr[-2000:]
+
+
 # ------------------------------------------- event-time watermark lateness
 
 
