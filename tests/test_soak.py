@@ -62,6 +62,66 @@ def test_streaming_runner_soak(ray_session, tmp_path):
 
 
 @pytest.mark.slow
+def test_streaming_runner_tailing_soak(ray_session, tmp_path):
+    """Continuous ingest: a new file lands in the inbox on (almost)
+    every epoch for ~30 epochs — the 100 TB tail-a-directory shape.
+    Committed output must equal the batch run over the union, per-epoch
+    time must stay flat, and the watermark must never regress."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dataflowkit_ray.runner import StreamingRunner
+    from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+    from tests.test_runner import _expected, _read_out
+
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    n_files = 30
+    per = len(t) // n_files
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    slices = [
+        t.slice(i * per, per if i < n_files - 1 else len(t) - (n_files - 1) * per)
+        for i in range(n_files)
+    ]
+    pq.write_table(slices[0], str(inbox / "f0000.parquet"))
+
+    times: list[float] = []
+    timer = _epoch_timer(times)
+    dropped = [1]
+
+    def hook(epoch, info):
+        timer(epoch, info)
+        if dropped[0] < n_files:
+            i = dropped[0]
+            pq.write_table(slices[i], str(inbox / f"f{i:04d}.parquet"))
+            dropped[0] += 1
+
+    wd = str(tmp_path / "run")
+    r = StreamingRunner(
+        [str(inbox / "f0000.parquet")], wd,
+        chunks_per_epoch=1, target_rows=25,
+        discover=f"{inbox}/*.parquet",
+    )
+    summary = r.run(on_epoch=hook)
+    assert dropped[0] == n_files  # every file really landed mid-run
+    assert len(times) >= 25
+    assert summary["late_rows"] == 0
+    assert summary["open_windows"] == 0
+    # watermark monotone across every committed epoch
+    sink = ExactlyOnceSink(f"{wd}/out")
+    wms = [
+        sink.manifest(e)["watermark_event"] for e in sink.committed_epochs()
+    ]
+    assert len(wms) >= 25 and wms == sorted(wms)
+    got = _read_out(wd)
+    exp = _expected(SF)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    assert _flatness(times) < 3.0
+
+
+@pytest.mark.slow
 def test_event_runner_soak(ray_session, tmp_path):
     from dataflowkit_ray.event_runner import EventStreamRunner
 
