@@ -23,6 +23,7 @@ serialization of row data).
 from __future__ import annotations
 
 import io
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -30,9 +31,30 @@ import pyarrow.ipc as ipc
 import ray
 
 
-def table_to_bytes(t: pa.Table) -> bytes:
+def table_to_bytes(t: pa.Table, compression: str | None = None) -> bytes:
+    """Arrow-IPC-serialize a shard message.
+
+    ``compression`` resolution: explicit arg > GRAFT_SHARD_IPC_COMPRESSION
+    env var > engine config ``shard_ipc_compression``.  The env var is
+    the cluster-facing switch because it reaches every worker/actor
+    process (set before ray.init locally; runtime_env env_vars on a real
+    cluster), whereas a driver-side config mutation is invisible to
+    workers, which re-import their own config.  Default None: on one
+    box the exchange is a memcpy and a codec only burns CPU; "zstd"
+    shrinks the int-only partial/event payloads 5-6.7x for NIC-bound
+    clusters (see config.py).  The stream is self-describing, so
+    readers need no flag and mixed-codec senders coexist."""
+    if compression is None:
+        compression = os.environ.get("GRAFT_SHARD_IPC_COMPRESSION") or None
+    if compression is None:
+        from dataflowkit_ray.config import DEFAULT_CONFIG
+
+        compression = DEFAULT_CONFIG.shard_ipc_compression
+    if compression in ("", "none"):
+        compression = None
     buf = io.BytesIO()
-    with ipc.new_stream(buf, t.schema) as w:
+    opts = ipc.IpcWriteOptions(compression=compression) if compression else None
+    with ipc.new_stream(buf, t.schema, options=opts) as w:
         w.write_table(t)
     return buf.getvalue()
 

@@ -104,3 +104,72 @@ def test_staging_buffer_split_chunk_and_retry():
     out = sb.drain(5)
     assert out["v"].to_pylist() == [1, 2, 3]
     assert sb.drain(5) is None  # drained exactly once
+
+
+def test_shard_ipc_compression_roundtrip_and_shrink():
+    """table_to_bytes codecs: self-describing streams roundtrip under
+    every codec, and zstd/lz4 genuinely shrink the int-only payloads."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dataflowkit_ray.state.store import bytes_to_table, table_to_bytes
+
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {
+            "key": pa.array(rng.integers(0, 20, 50_000)),
+            "window_id": pa.array(rng.integers(0, 300, 50_000)),
+            "sum_n_tok": pa.array(rng.integers(100, 4000, 50_000)),
+        }
+    )
+    sizes = {}
+    for codec in (None, "zstd", "lz4"):
+        b = table_to_bytes(t, compression=codec)
+        assert bytes_to_table(b).equals(t)
+        sizes[codec] = len(b)
+    assert sizes["zstd"] < sizes["lz4"] < sizes[None]
+
+
+def test_streaming_output_identical_under_zstd_exchange(tmp_path):
+    """GRAFT_SHARD_IPC_COMPRESSION=zstd must not change a single
+    committed row (a transport codec, not semantics).  Runs in a
+    subprocess with the env var set BEFORE ray.init so the chunk TASKS
+    (separate worker processes with their own config import) really
+    encode zstd — a driver-side config mutation would never reach them."""
+    import os
+    import subprocess
+    import sys
+
+    code = f"""
+import os, pandas as pd
+import ray
+from dataflowkit_ray.runner import StreamingRunner
+from dataflowkit_ray.sinks.exactly_once import ExactlyOnceSink
+
+SF = "/root/testdata/sf0.001"
+ray.init(address="local", num_cpus=2, include_dashboard=False)
+
+def run(wd):
+    StreamingRunner([f"{{SF}}/documents.parquet"], wd,
+                    chunks_per_epoch=2, target_rows=64).run()
+    t = ExactlyOnceSink(f"{{wd}}/out").read_committed_table().to_pandas()
+    return t.sort_values(["source", "window_id"]).reset_index(drop=True)
+
+os.environ.pop("GRAFT_SHARD_IPC_COMPRESSION", None)
+plain = run({str(tmp_path)!r} + "/plain")
+# workers spawned AFTER this see the var; force a fresh pool via a new cluster
+ray.shutdown()
+os.environ["GRAFT_SHARD_IPC_COMPRESSION"] = "zstd"
+ray.init(address="local", num_cpus=2, include_dashboard=False)
+zstd = run({str(tmp_path)!r} + "/zstd")
+pd.testing.assert_frame_equal(plain, zstd)
+print("ZSTD_OK")
+ray.shutdown()
+"""
+    env = {k: v for k, v in os.environ.items()}
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "ZSTD_OK" in out.stdout, out.stderr[-2000:]
