@@ -360,6 +360,24 @@ def q_sample_docs(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+_MIXTURE_RATES = {"src0": 1000, "src1": 500, "src2": 250, "src3": 125}
+_MIXTURE_DEFAULT_PM = 100
+
+
+def q_mixture_sample(sf_dir: str):
+    """Training-data mixture weighting: each source sampled at its own
+    deterministic per-mille rate (src0 kept whole, src1 at 50%, ...,
+    everything else at 10%) via a multiplicative 64-bit key hash —
+    row-local, zero exchange, SQL-replayable (stages/policy.py)."""
+    from dataflowkit_ray.stages.policy import mixture_sample
+
+    return mixture_sample(
+        load_token_stream(sf_dir),
+        _MIXTURE_RATES,
+        default_pm=_MIXTURE_DEFAULT_PM,
+    )
+
+
 def q_streaming_join(sf_dir: str):
     """Stream-stream join the STREAMING way: documents and embeddings as
     two lagged micro-batch sources, parents buffered in JoinStateShard
@@ -803,6 +821,7 @@ QUERIES = {
     "streaming_funnel": q_streaming_funnel,
     "streaming_join": q_streaming_join,
     "sample_docs": q_sample_docs,
+    "mixture_sample": q_mixture_sample,
     "approx_distinct": q_approx_distinct,
     "asof_profile": q_asof_profile,
     "source_policy": q_source_policy,
@@ -876,6 +895,12 @@ ORACLES["sample_docs"] = f"""
     WITH {TOKEN_CTE}
     SELECT doc_id, n_tok, source FROM tok WHERE event_seq % 10 = 0
 """
+
+from dataflowkit_ray.stages.policy import mixture_sample_sql as _mix_sql
+
+ORACLES["mixture_sample"] = _mix_sql(
+    _MIXTURE_RATES, default_pm=_MIXTURE_DEFAULT_PM, token_cte=TOKEN_CTE
+)
 
 ORACLES["streaming_join"] = f"""
     WITH {TOKEN_CTE}

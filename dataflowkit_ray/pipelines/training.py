@@ -293,7 +293,33 @@ def q_multimodal_meta(sf_dir: str):
     return media_pipeline(_docs(sf_dir))
 
 
+def q_decontaminate(sf_dir: str):
+    """Train/test overlap check: docs with CAST(doc_id) % 29 == 0 play
+    the benchmark/eval set; every OTHER doc is scored by how many of its
+    distinct trigram shingles appear anywhere in the benchmark.  The
+    benchmark shingle set broadcasts once; the training side is one
+    row-local map_batches — zero exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dataflowkit_ray.stages.dedup import decontaminate
+
+    def split(bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+            m = (ids % 29 == 0) if bench else (ids % 29 != 0)
+            return t.filter(pa.array(m))
+
+        return fn
+
+    bench = _docs(sf_dir).map_batches(split(True), batch_format="pyarrow")
+    train = _docs(sf_dir).map_batches(split(False), batch_format="pyarrow")
+    return decontaminate(train, bench)
+
+
 TRAINING_QUERIES = {
+    "decontaminate": q_decontaminate,
     "exact_dedup": q_exact_dedup,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "dedup_clusters": q_dedup_clusters,
@@ -337,6 +363,30 @@ sh AS (
 """
 
 TRAINING_ORACLES = {
+    # gram STRINGS intersected where the engine intersects gram HASHES —
+    # equivalent exactly when the 64-bit shingle hash is collision-free
+    # on the corpus (the premise of every Jaccard oracle below)
+    "decontaminate": f"""
+        WITH {_SHINGLES_CTE},
+        b AS (
+          SELECT DISTINCT unnest(grams) AS g
+          FROM sh WHERE CAST(doc_id AS BIGINT) % 29 = 0
+        ),
+        tr AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(grams) AS g
+          FROM sh WHERE CAST(doc_id AS BIGINT) % 29 <> 0
+        ),
+        h AS (
+          SELECT tr.doc_id, COUNT(*) AS n_hits
+          FROM tr JOIN b USING (g) GROUP BY tr.doc_id
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               COALESCE(h.n_hits, 0) AS n_contaminated_shingles,
+               COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d
+        LEFT JOIN h ON h.doc_id = CAST(d.doc_id AS BIGINT)
+        WHERE CAST(d.doc_id AS BIGINT) % 29 <> 0
+    """,
     "exact_dedup": """
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text

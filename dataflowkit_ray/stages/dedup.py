@@ -127,6 +127,83 @@ def shingle_hashes(text: pa.Array | pa.ChunkedArray, w: int = 3) -> list[np.ndar
     return [vals[off[i] : off[i + 1]] for i in range(len(off) - 1)]
 
 
+def benchmark_shingle_set(bench_ds, text_col: str = "text", w: int = 3) -> np.ndarray:
+    """Sorted unique shingle hashes of a BENCHMARK/eval corpus.
+
+    Per-block unique runs distributed; the driver unions block results.
+    The driver pull is benchmark-sized by construction — eval suites are
+    MB-scale (the engine's catalog-pull rule: only set-of-distinct
+    results sized by the SMALL side ever reach the driver), while the
+    100 TB training side never leaves its tasks."""
+
+    def block_unique(t: pa.Table) -> pa.Table:
+        _, vals = shingle_hash_flat(t[text_col], w)
+        u = np.unique(vals)  # sorted unique, uint64
+        return pa.table({"h": pa.array(u.view(np.int64))})
+
+    parts = [
+        b["h"].to_numpy(zero_copy_only=False)
+        for b in bench_ds.map_batches(block_unique, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ]
+    if not parts:
+        return np.empty(0, np.uint64)
+    # reinterpret BEFORE unique: sorting int64 views then viewing uint64
+    # would leave values >= 2^63 out of order and break searchsorted
+    return np.unique(np.concatenate(parts).view(np.uint64))
+
+
+def decontaminate(
+    train_ds,
+    bench_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+):
+    """Benchmark decontamination: per training doc, how many of its
+    distinct word w-shingles appear ANYWHERE in the benchmark corpus
+    (and the boolean contamination flag).  The standard train/test
+    overlap check for LLM corpora (e.g. GPT-3 appx. C / PaLM-style
+    n-gram overlap).
+
+    Scale shape: the benchmark shingle set is broadcast ONCE via
+    ``ray.put`` (eval suites are MB-scale); each training batch probes
+    it row-locally with a vectorized ``searchsorted`` — the training
+    side needs ZERO exchange and never materializes.  Output columns:
+    ``(doc_id:int64, n_contaminated_shingles:int64, contaminated:bool)``.
+
+    Oracle twin: ``DECONTAMINATE_SQL`` in pipelines/training.py — gram
+    STRINGS intersected in DuckDB over the identical shingle definition
+    (``_SHINGLES_CTE``); hash-vs-string equivalence holds exactly when
+    the 64-bit shingle hash is collision-free on the corpus, the same
+    premise every Jaccard oracle here rests on."""
+    import ray
+
+    bench = benchmark_shingle_set(bench_ds, text_col=text_col, w=w)
+    bench_ref = ray.put(bench)  # sorted uint64
+
+    def probe(t: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        off, vals = shingle_hash_flat(t[text_col], w)
+        n = len(t)
+        if len(vals) and len(b):
+            idx = np.searchsorted(b, vals)
+            hit = (idx < len(b)) & (b[np.minimum(idx, len(b) - 1)] == vals)
+            row_of = np.repeat(np.arange(n), np.diff(off))
+            n_hits = np.bincount(row_of[hit], minlength=n).astype(np.int64)
+        else:
+            n_hits = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t[id_col], pa.int64()),
+                "n_contaminated_shingles": pa.array(n_hits),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return train_ds.map_batches(probe, batch_format="pyarrow")
+
+
 def _gen_consts(k: int, seed_mult: int) -> np.ndarray:
     out = np.empty(k, dtype=np.uint64)
     h = FNV_OFFSET

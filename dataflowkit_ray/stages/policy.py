@@ -107,3 +107,79 @@ def source_policy_filter(token_ds, sources: list[str] | None = None, concurrency
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+# ------------------------------------------------- mixture sampling
+# Training-data mixture weighting: keep each source at its own
+# deterministic rate (per-mille).  Randomness is banned for
+# replay-identity (SURVEY.md §7), so the sample predicate is a pure
+# function of the row key — a multiplicative 64-bit hash of doc_id —
+# and the identical expression is writable in DuckDB HUGEINT
+# arithmetic (MIXTURE_KEY_SQL), making the sampler oracle-replayable.
+
+_MIX_PRIME = 0x100000001B3  # FNV prime as the multiplicative constant
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+MIXTURE_KEY_SQL = (
+    "CAST((CAST(doc_id AS HUGEINT) * 1099511628211) "
+    "% 18446744073709551616 % 1000 AS BIGINT)"
+)
+
+
+def mixture_bucket(ids: np.ndarray) -> np.ndarray:
+    """per-mille bucket of each int64 doc id (wrapping u64 multiply)."""
+    k = ids.astype(np.uint64) * np.uint64(_MIX_PRIME)  # wraps mod 2^64
+    return (k % np.uint64(1000)).astype(np.int64)
+
+
+def mixture_sample(
+    ds,
+    rates_pm: dict[str, int],
+    default_pm: int = 0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Per-source mixture sampler: keep a row iff its per-mille bucket
+    < the source's rate (e.g. {"web": 350, "code": 1000} keeps 35% of
+    web and all of code).  The rate table is mixture-config-sized and
+    travels INSIDE the closure (a few strings); the sample itself is a
+    row-local vectorized filter — zero exchange, zero driver pull,
+    streams at 100 TB.  Rate lookup runs once per UNIQUE source per
+    batch via the dictionary, not per row."""
+    from dataflowkit_ray.config import np_col
+
+    rates = dict(rates_pm)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = np_col(pc.cast(t[id_col], pa.int64()))
+        bucket = mixture_bucket(ids)
+        src = t[source_col]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        lut = np.asarray(
+            [rates.get(s, default_pm) for s in d.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        thresh = lut[np_col(d.indices)]
+        return t.filter(pa.array(bucket < thresh)).select(
+            [id_col, "n_tok", source_col]
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mixture_sample_sql(
+    rates_pm: dict[str, int], default_pm: int = 0, token_cte: str = ""
+) -> str:
+    """DuckDB twin of :func:`mixture_sample` over the tokenized stream."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN {pm}" for s, pm in sorted(rates_pm.items())
+    )
+    return f"""
+        WITH {token_cte}
+        SELECT doc_id, n_tok, source FROM tok
+        WHERE {MIXTURE_KEY_SQL} < CASE source {cases} ELSE {default_pm} END
+    """

@@ -735,3 +735,78 @@ def test_full_hash128_lanes_independent_and_deterministic():
     assert l1[0] != l1[1] and l2[0] != l2[1]
     assert l1[3] == l1[4] and l2[3] == l2[4]  # null hashes as ""
     assert l1[0] != l2[0]  # lanes are different functions
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """Planted train/test overlap: shared trigram counted, disjoint doc
+    clean, <3-word docs fall back to word-level overlap (same regimes
+    as the shingle definition)."""
+    import pyarrow as pa
+    import ray.data
+
+    from dataflowkit_ray.stages.dedup import decontaminate
+
+    bench = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["100", "101"],
+                "text": ["alpha beta gamma delta", "zz qq"],
+            }
+        )
+    )
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["1", "2", "3"],
+                "text": [
+                    # shares trigrams "alpha beta gamma" + "beta gamma delta"
+                    "prefix alpha beta gamma delta suffix",
+                    "completely disjoint words here",
+                    "zz",  # <3 words: word-level hit against bench doc 101
+                ],
+            }
+        )
+    )
+    got = (
+        decontaminate(train, bench)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == [1, 2, 3]
+    assert got.n_contaminated_shingles.tolist() == [2, 0, 1]
+    assert got.contaminated.tolist() == [True, False, True]
+
+
+def test_mixture_sample_rates(ray_session):
+    """rate 1000 keeps every row, rate 0 drops every row, unknown
+    sources take the default, and the predicate is deterministic."""
+    import pyarrow as pa
+    import ray.data
+
+    from dataflowkit_ray.stages.policy import mixture_bucket, mixture_sample
+
+    import numpy as np
+
+    n = 400
+    t = pa.table(
+        {
+            "doc_id": [str(i) for i in range(n)],
+            "n_tok": pa.array(np.arange(n, dtype=np.int64)),
+            "source": (["all"] * 100 + ["none"] * 100 + ["half"] * 100 + ["other"] * 100),
+        }
+    )
+    rates = {"all": 1000, "none": 0, "half": 500}
+    got = (
+        mixture_sample(ray.data.from_arrow(t), rates, default_pm=1000)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    by = got.groupby("source").size().to_dict()
+    assert by["all"] == 100
+    assert "none" not in by
+    assert by["other"] == 100  # default_pm=1000
+    # half: exactly the ids whose bucket < 500 (deterministic replay)
+    ids = np.arange(200, 300, dtype=np.int64)
+    expect_half = int((mixture_bucket(ids) < 500).sum())
+    assert by["half"] == expect_half and 0 < expect_half < 100
