@@ -86,6 +86,8 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         "cep_contiguous",
         "filters_regex",
         "exact_dedup",
+        "decontaminate",
+        "mixture_sample",
         "minhash_dup_pairs",
         "ngram_jaccard_pairs",
         "simhash_pairs",

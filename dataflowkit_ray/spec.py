@@ -173,6 +173,29 @@ class HeavyHittersSpec:
 
 
 @dataclass
+class DecontaminateSpec:
+    """Benchmark-decontamination terminal (``stages/dedup.decontaminate``):
+    per source-stream doc, how many of its distinct word w-shingles
+    occur anywhere in the benchmark corpus read from ``bench_paths``
+    (broadcast once; the stream side probes row-locally, no exchange)."""
+
+    bench_paths: list[str]
+    w: int = 3
+    text_col: str = "text"
+    id_col: str = "doc_id"
+
+
+@dataclass
+class MixtureSampleSpec:
+    """Per-source mixture sampling terminal (``stages/policy.mixture_sample``):
+    keep each source at its own deterministic per-mille rate (a
+    multiplicative 64-bit key hash — replay-identical, oracle-replayable)."""
+
+    rates_pm: dict = field(default_factory=dict)
+    default_pm: int = 0
+
+
+@dataclass
 class RelationalSpec:
     """Warehouse-analytics branch: the TPC-H-analog pipelines compiled
     from JSON.  ``source.paths[0]`` is the warehouse directory (tables
@@ -273,6 +296,8 @@ class PipelineSpec:
     range_join: RangeJoinSpec | None = None
     relational: RelationalSpec | None = None
     heavy_hitters: HeavyHittersSpec | None = None
+    decontaminate: DecontaminateSpec | None = None
+    sample: MixtureSampleSpec | None = None
     ann: AnnSpec | None = None
     quantiles: QuantilesSpec | None = None
     sink: SinkSpec | None = None
@@ -321,6 +346,14 @@ class PipelineSpec:
             ),
             policy=PolicySpec(**d["policy"]) if d.get("policy") else None,
             throttle=ThrottleSpec(**d["throttle"]) if d.get("throttle") else None,
+            decontaminate=(
+                DecontaminateSpec(**d["decontaminate"])
+                if d.get("decontaminate")
+                else None
+            ),
+            sample=(
+                MixtureSampleSpec(**d["sample"]) if d.get("sample") else None
+            ),
             relational=(
                 RelationalSpec(**d["relational"]) if d.get("relational") else None
             ),
@@ -429,6 +462,29 @@ def validate_spec(spec: PipelineSpec) -> None:
             raise SpecError(
                 "heavy_hitters counts raw words: set source.tokenize=false"
             )
+    if spec.decontaminate:
+        if not spec.decontaminate.bench_paths:
+            raise SpecError("decontaminate needs >= 1 bench path")
+        if spec.decontaminate.w <= 0:
+            raise SpecError("decontaminate shingle width w must be > 0")
+        if spec.source.tokenize:
+            raise SpecError(
+                "decontaminate shingles raw text: set source.tokenize=false"
+            )
+    if spec.sample:
+        if not spec.source.tokenize:
+            raise SpecError(
+                "sample runs on the tokenized stream (needs n_tok): "
+                "set source.tokenize=true"
+            )
+        rates = dict(spec.sample.rates_pm)
+        bad = {
+            s: r
+            for s, r in {**rates, "<default>": spec.sample.default_pm}.items()
+            if not (0 <= int(r) <= 1000)
+        }
+        if bad:
+            raise SpecError(f"sample rates must be 0..1000 per-mille, got {bad}")
     _terminal = {
         "relational": spec.relational,
         "ann": spec.ann,
@@ -436,6 +492,8 @@ def validate_spec(spec: PipelineSpec) -> None:
         "dedup": spec.dedup,
         "text": spec.text,
         "heavy_hitters": spec.heavy_hitters,
+        "decontaminate": spec.decontaminate,
+        "sample": spec.sample,
     }
     _set = [n for n, v in _terminal.items() if v]
     if len(_set) > 1:
@@ -678,6 +736,24 @@ def build_pipeline(spec: PipelineSpec):
         # throttle/filter stages apply to BOTH passes
         return cms_heavy_hitters(
             ds, prepare(), k=hh.k, depth=hh.depth, width=hh.width
+        )
+
+    if spec.decontaminate:
+        from dataflowkit_ray.stages.dedup import decontaminate
+
+        dc = spec.decontaminate
+        bench = ray.data.read_parquet(
+            dc.bench_paths, columns=[dc.id_col, dc.text_col]
+        )
+        return decontaminate(
+            ds, bench, text_col=dc.text_col, id_col=dc.id_col, w=dc.w
+        )
+
+    if spec.sample:
+        from dataflowkit_ray.stages.policy import mixture_sample
+
+        return mixture_sample(
+            ds, dict(spec.sample.rates_pm), default_pm=spec.sample.default_pm
         )
 
     if spec.dedup:

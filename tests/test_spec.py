@@ -15,9 +15,11 @@ import pytest
 
 from dataflowkit_ray.spec import (
     AggSpec,
+    DecontaminateSpec,
     DedupSpec,
     FilterSpec,
     HeavyHittersSpec,
+    MixtureSampleSpec,
     RangeJoinSpec,
     PatternSpec,
     PipelineSpec,
@@ -1031,3 +1033,96 @@ def test_all_example_specs_parse_and_validate():
             spec = PipelineSpec.from_json(fh.read())
         validate_spec(spec)
         assert spec.name, os.path.basename(f)
+
+
+def test_spec_decontaminate_equals_direct(ray_session):
+    """Spec-driven decontamination == the direct stage composition (the
+    benchmark here is a second read of the same file, so every doc is
+    fully contaminated except where shingle sets differ — the point is
+    bit-equality of the spec path, not the corpus split)."""
+    import ray.data
+
+    from dataflowkit_ray.stages.dedup import decontaminate
+
+    spec = PipelineSpec(
+        name="decon",
+        source=SourceSpec(
+            paths=[f"{SF}/documents.parquet"], tokenize=False,
+            columns=["doc_id", "text"],
+        ),
+        decontaminate=DecontaminateSpec(
+            bench_paths=[f"{SF}/documents.parquet"]
+        ),
+    )
+    got = (
+        build_pipeline(spec).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    bench = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    train = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    exp = (
+        decontaminate(train, bench)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert got.contaminated.all()  # self-benchmark: everything overlaps
+
+
+def test_spec_mixture_sample_equals_direct_and_validates(ray_session):
+    from dataflowkit_ray.pipelines.queries import q_mixture_sample
+
+    spec = PipelineSpec(
+        name="mix",
+        source=SourceSpec(paths=[f"{SF}/documents.parquet"]),
+        sample=MixtureSampleSpec(
+            rates_pm={"src0": 1000, "src1": 500, "src2": 250, "src3": 125},
+            default_pm=100,
+        ),
+    )
+    got = (
+        build_pipeline(spec).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = (
+        q_mixture_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+    back = PipelineSpec.from_json(spec.to_json())
+    assert back == spec
+    with pytest.raises(SpecError, match="0..1000"):
+        validate_spec(
+            PipelineSpec(
+                name="mix",
+                source=SourceSpec(paths=["x.parquet"]),
+                sample=MixtureSampleSpec(rates_pm={"a": 2000}),
+            )
+        )
+    with pytest.raises(SpecError, match="tokenize"):
+        validate_spec(
+            PipelineSpec(
+                name="mix",
+                source=SourceSpec(paths=["x.parquet"], tokenize=False),
+                sample=MixtureSampleSpec(rates_pm={"a": 10}),
+            )
+        )
+    with pytest.raises(SpecError, match="tokenize"):
+        validate_spec(
+            PipelineSpec(
+                name="decon",
+                source=SourceSpec(paths=["x.parquet"], tokenize=True),
+                decontaminate=DecontaminateSpec(bench_paths=["b.parquet"]),
+            )
+        )
+    with pytest.raises(SpecError, match="bench path"):
+        validate_spec(
+            PipelineSpec(
+                name="decon",
+                source=SourceSpec(paths=["x.parquet"], tokenize=False),
+                decontaminate=DecontaminateSpec(bench_paths=[]),
+            )
+        )
