@@ -271,3 +271,56 @@ def test_resume_after_compaction_keeps_absorbed_data(ray_session, tmp_path):
     got = _read_out(tmp_path / "rc")
     exp = _expected(SF)
     pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_shard_actor_killed_midrun_then_resume_identical(ray_session, tmp_path):
+    """Worker/actor failure, not just driver crash: a state shard is
+    ray.kill'ed mid-run.  State in that actor is gone, so the RUN must
+    fail loudly (never commit a partial epoch); a fresh runner over the
+    same work_dir then resumes from the last committed checkpoint
+    (shard_pool respawns the dead pool, restore() reloads snapshots) and
+    the final output is row-identical to an undisturbed run."""
+    import ray
+
+    from dataflowkit_ray.state.store import _POOLS, WindowStateShard
+
+    full = StreamingRunner(
+        [f"{SF}/documents.parquet"], str(tmp_path / "full"),
+        chunks_per_epoch=1, target_rows=16,
+    )
+    full.run()
+
+    victim_wd = str(tmp_path / "victim")
+    r = StreamingRunner(
+        [f"{SF}/documents.parquet"], victim_wd,
+        chunks_per_epoch=1, target_rows=16,
+    )
+
+    def kill_one(epoch, info):
+        if epoch == 0:
+            cached = next(
+                v for (cls, name, n), v in _POOLS.items()
+                if cls is WindowStateShard
+            )
+            _session, pool = cached
+            ray.kill(pool[0])
+
+    with pytest.raises(Exception):
+        r.run(on_epoch=kill_one)
+
+    committed = ExactlyOnceSink(f"{victim_wd}/out").committed_epochs()
+    assert committed  # something landed before the kill...
+    assert len(committed) < len(
+        ExactlyOnceSink(f"{tmp_path}/full/out").committed_epochs()
+    )  # ...but the run really died early, nothing partial after it
+
+    resumed = StreamingRunner(
+        [f"{SF}/documents.parquet"], victim_wd,
+        chunks_per_epoch=1, target_rows=16,
+    )
+    summary = resumed.run()
+    assert summary["open_windows"] == 0
+
+    a = _read_out(tmp_path / "full")
+    b = _read_out(tmp_path / "victim")
+    pd.testing.assert_frame_equal(a, b)
