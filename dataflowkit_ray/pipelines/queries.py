@@ -375,6 +375,9 @@ def q_mixture_sample(sf_dir: str):
         load_token_stream(sf_dir),
         _MIXTURE_RATES,
         default_pm=_MIXTURE_DEFAULT_PM,
+        # gate projection — the SQL twin selects the same three columns;
+        # the operator itself defaults to keeping the full payload
+        columns=["doc_id", "n_tok", "source"],
     )
 
 

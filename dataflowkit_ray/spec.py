@@ -478,10 +478,19 @@ def validate_spec(spec: PipelineSpec) -> None:
                 "set source.tokenize=true"
             )
         rates = dict(spec.sample.rates_pm)
+
+        def _bad_rate(r) -> bool:
+            try:
+                return not (0 <= int(r) <= 1000)
+            except (TypeError, ValueError):
+                # non-numeric rate is an invalid SPEC (BadRequest/400),
+                # not an internal error the job service would 500 on
+                return True
+
         bad = {
             s: r
             for s, r in {**rates, "<default>": spec.sample.default_pm}.items()
-            if not (0 <= int(r) <= 1000)
+            if _bad_rate(r)
         }
         if bad:
             raise SpecError(f"sample rates must be 0..1000 per-mille, got {bad}")

@@ -117,12 +117,16 @@ def source_policy_filter(token_ds, sources: list[str] | None = None, concurrency
 # and the identical expression is writable in DuckDB HUGEINT
 # arithmetic (MIXTURE_KEY_SQL), making the sampler oracle-replayable.
 
-_MIX_PRIME = 0x100000001B3  # FNV prime as the multiplicative constant
-_MASK64 = 0xFFFFFFFFFFFFFFFF
+from dataflowkit_ray.config import FNV_PRIME as _MIX_PRIME
 
+_U64 = "18446744073709551616"  # 2^64
+# DuckDB % keeps the dividend's sign, numpy's uint64 cast wraps — map
+# the id into [0, 2^64) FIRST so negative ids bucket identically on
+# both sides (HUGEINT is 128-bit: u < 2^64 times the 41-bit prime
+# stays < 2^105, no overflow)
 MIXTURE_KEY_SQL = (
-    "CAST((CAST(doc_id AS HUGEINT) * 1099511628211) "
-    "% 18446744073709551616 % 1000 AS BIGINT)"
+    f"CAST((((CAST(doc_id AS HUGEINT) % {_U64}) + {_U64}) % {_U64}"
+    f" * {_MIX_PRIME}) % {_U64} % 1000 AS BIGINT)"
 )
 
 
@@ -138,6 +142,7 @@ def mixture_sample(
     default_pm: int = 0,
     id_col: str = "doc_id",
     source_col: str = "source",
+    columns: list[str] | None = None,
 ):
     """Per-source mixture sampler: keep a row iff its per-mille bucket
     < the source's rate (e.g. {"web": 350, "code": 1000} keeps 35% of
@@ -145,7 +150,11 @@ def mixture_sample(
     travels INSIDE the closure (a few strings); the sample itself is a
     row-local vectorized filter — zero exchange, zero driver pull,
     streams at 100 TB.  Rate lookup runs once per UNIQUE source per
-    batch via the dictionary, not per row."""
+    batch via the dictionary, not per row.
+
+    ``columns``: projection of the surviving rows (None keeps EVERY
+    column — a mixture terminal must emit the training payload itself,
+    not just its keys)."""
     from dataflowkit_ray.config import np_col
 
     rates = dict(rates_pm)
@@ -164,9 +173,8 @@ def mixture_sample(
             dtype=np.int64,
         )
         thresh = lut[np_col(d.indices)]
-        return t.filter(pa.array(bucket < thresh)).select(
-            [id_col, "n_tok", source_col]
-        )
+        out = t.filter(pa.array(bucket < thresh))
+        return out.select(columns) if columns is not None else out
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -174,12 +182,20 @@ def mixture_sample(
 def mixture_sample_sql(
     rates_pm: dict[str, int], default_pm: int = 0, token_cte: str = ""
 ) -> str:
-    """DuckDB twin of :func:`mixture_sample` over the tokenized stream."""
-    cases = " ".join(
-        f"WHEN '{s}' THEN {pm}" for s, pm in sorted(rates_pm.items())
-    )
+    """DuckDB twin of :func:`mixture_sample` over the tokenized stream
+    (projected to the gate's (doc_id, n_tok, source)).  Source names are
+    quote-escaped; an empty rate table degenerates to the default rate
+    alone (no CASE — DuckDB rejects a WHEN-less CASE)."""
+    if rates_pm:
+        cases = " ".join(
+            f"WHEN '{s.replace(chr(39), chr(39) * 2)}' THEN {int(pm)}"
+            for s, pm in sorted(rates_pm.items())
+        )
+        rate_expr = f"CASE source {cases} ELSE {int(default_pm)} END"
+    else:
+        rate_expr = str(int(default_pm))
     return f"""
         WITH {token_cte}
         SELECT doc_id, n_tok, source FROM tok
-        WHERE {MIXTURE_KEY_SQL} < CASE source {cases} ELSE {default_pm} END
+        WHERE {MIXTURE_KEY_SQL} < {rate_expr}
     """

@@ -31,27 +31,38 @@ import pyarrow.ipc as ipc
 import ray
 
 
-def table_to_bytes(t: pa.Table, compression: str | None = None) -> bytes:
+def table_to_bytes(t: pa.Table, compression: str | None = "auto") -> bytes:
     """Arrow-IPC-serialize a shard message.
 
-    ``compression`` resolution: explicit arg > GRAFT_SHARD_IPC_COMPRESSION
-    env var > engine config ``shard_ipc_compression``.  The env var is
-    the cluster-facing switch because it reaches every worker/actor
-    process (set before ray.init locally; runtime_env env_vars on a real
+    ``compression`` resolution: explicit arg ("zstd" / "lz4" / None for
+    force-uncompressed) > GRAFT_SHARD_IPC_COMPRESSION env var > engine
+    config ``shard_ipc_compression``; the "auto" sentinel (default)
+    means "consult env/config" — a plain None default could never
+    express an explicit uncompressed override.  The env var is the
+    cluster-facing switch because it reaches every worker/actor process
+    (set before ray.init locally; runtime_env env_vars on a real
     cluster), whereas a driver-side config mutation is invisible to
-    workers, which re-import their own config.  Default None: on one
-    box the exchange is a memcpy and a codec only burns CPU; "zstd"
-    shrinks the int-only partial/event payloads 5-6.7x for NIC-bound
-    clusters (see config.py).  The stream is self-describing, so
-    readers need no flag and mixed-codec senders coexist."""
-    if compression is None:
+    workers, which re-import their own config.  Default resolution is
+    None: on one box the exchange is a memcpy and a codec only burns
+    CPU; "zstd" shrinks the int-only partial/event payloads 5-6.7x for
+    NIC-bound clusters (see config.py).  The stream is self-describing,
+    so readers need no flag and mixed-codec senders coexist."""
+    if compression == "auto":
         compression = os.environ.get("GRAFT_SHARD_IPC_COMPRESSION") or None
-    if compression is None:
-        from dataflowkit_ray.config import DEFAULT_CONFIG
+        if compression is None:
+            from dataflowkit_ray.config import DEFAULT_CONFIG
 
-        compression = DEFAULT_CONFIG.shard_ipc_compression
-    if compression in ("", "none"):
-        compression = None
+            compression = DEFAULT_CONFIG.shard_ipc_compression
+        if compression in ("", "none"):
+            compression = None
+    if compression not in (None, "zstd", "lz4"):
+        # reject HERE with a readable message: a typo'd env var would
+        # otherwise surface as an opaque pyarrow error inside remote
+        # chunk tasks at the first exchange message
+        raise ValueError(
+            "shard IPC compression must be zstd | lz4 | none, got "
+            f"{compression!r} (check GRAFT_SHARD_IPC_COMPRESSION)"
+        )
     buf = io.BytesIO()
     opts = ipc.IpcWriteOptions(compression=compression) if compression else None
     with ipc.new_stream(buf, t.schema, options=opts) as w:

@@ -296,16 +296,19 @@ def test_shard_actor_killed_midrun_then_resume_identical(ray_session, tmp_path):
         chunks_per_epoch=1, target_rows=16,
     )
 
+    # the pool persists from full.run() in this session — bind it BEFORE
+    # the victim run so a hook bug (e.g. missing pool) cannot fake the
+    # "run fails loudly" assertion via its own StopIteration
+    cached = next(
+        v for (cls, name, n), v in _POOLS.items() if cls is WindowStateShard
+    )
+    _session, pool = cached
+
     def kill_one(epoch, info):
         if epoch == 0:
-            cached = next(
-                v for (cls, name, n), v in _POOLS.items()
-                if cls is WindowStateShard
-            )
-            _session, pool = cached
             ray.kill(pool[0])
 
-    with pytest.raises(Exception):
+    with pytest.raises(ray.exceptions.RayActorError):
         r.run(on_epoch=kill_one)
 
     committed = ExactlyOnceSink(f"{victim_wd}/out").committed_epochs()

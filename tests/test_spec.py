@@ -1087,10 +1087,14 @@ def test_spec_mixture_sample_equals_direct_and_validates(ray_session):
     got = (
         build_pipeline(spec).to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
+    # the terminal keeps the FULL payload (tokens included) — a mixture
+    # output without the training text would be useless; the gate query
+    # projects to (doc_id, n_tok, source) for its SQL twin
+    assert {"tokens", "event_seq"} <= set(got.columns)
     exp = (
         q_mixture_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
-    pd.testing.assert_frame_equal(got, exp)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
 
     back = PipelineSpec.from_json(spec.to_json())
     assert back == spec

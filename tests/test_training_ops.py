@@ -810,3 +810,43 @@ def test_mixture_sample_rates(ray_session):
     ids = np.arange(200, 300, dtype=np.int64)
     expect_half = int((mixture_bucket(ids) < 500).sum())
     assert by["half"] == expect_half and 0 < expect_half < 100
+
+
+def test_mixture_bucket_sql_parity_including_negative_ids():
+    """The DuckDB twin must bucket IDENTICALLY to the engine — DuckDB's
+    sign-keeping % vs numpy's wrapping uint64 cast diverge unless the id
+    is mapped into [0, 2^64) first; negative and extreme ids exercise
+    that mapping."""
+    import duckdb
+    import numpy as np
+
+    from dataflowkit_ray.stages.policy import MIXTURE_KEY_SQL, mixture_bucket
+
+    ids = np.array(
+        [-5, -1, 0, 7, -(2**62), 2**62, (2**63) - 1, -(2**63)], dtype=np.int64
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(int(i),) for i in ids])
+    sql = (
+        con.execute(f"SELECT {MIXTURE_KEY_SQL} FROM t ORDER BY rowid")
+        .df()
+        .iloc[:, 0]
+        .to_numpy()
+    )
+    assert (sql == mixture_bucket(ids)).all()
+
+
+def test_mixture_sample_sql_empty_rates_and_quote_escape():
+    """Degenerate SQL shapes must stay parseable: no rates (default-only,
+    a WHEN-less CASE would be a parse error) and a source name with a
+    single quote."""
+    import duckdb
+
+    from dataflowkit_ray.stages.policy import mixture_sample_sql
+
+    cte = "tok AS (SELECT 1 AS doc_id, 2 AS n_tok, 'o''reilly' AS source)"
+    con = duckdb.connect()
+    for rates in ({}, {"o'reilly": 1000}):
+        q = mixture_sample_sql(rates, default_pm=1000, token_cte=cte)
+        assert len(con.execute(q).df()) == 1  # parses and keeps the row
