@@ -88,6 +88,7 @@ def bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         "exact_dedup",
         "decontaminate",
         "mixture_sample",
+        "pack_manifest",
         "minhash_dup_pairs",
         "ngram_jaccard_pairs",
         "simhash_pairs",

@@ -381,6 +381,16 @@ def q_mixture_sample(sf_dir: str):
     )
 
 
+def q_pack_manifest(sf_dir: str):
+    """Concat-and-chunk packing manifest at seq_len=2048: per doc, its
+    global token offset in the event_seq-ordered stream and the
+    first/last fixed-length pack it occupies (stages/pack.py — one tiny
+    driver-bounded bucket-offset aggregate + one int-only exchange)."""
+    from dataflowkit_ray.stages.pack import pack_manifest
+
+    return pack_manifest(load_token_stream(sf_dir), seq_len=2048, group_size=512)
+
+
 def q_streaming_join(sf_dir: str):
     """Stream-stream join the STREAMING way: documents and embeddings as
     two lagged micro-batch sources, parents buffered in JoinStateShard
@@ -825,6 +835,7 @@ QUERIES = {
     "streaming_join": q_streaming_join,
     "sample_docs": q_sample_docs,
     "mixture_sample": q_mixture_sample,
+    "pack_manifest": q_pack_manifest,
     "approx_distinct": q_approx_distinct,
     "asof_profile": q_asof_profile,
     "source_policy": q_source_policy,
@@ -904,6 +915,10 @@ from dataflowkit_ray.stages.policy import mixture_sample_sql as _mix_sql
 ORACLES["mixture_sample"] = _mix_sql(
     _MIXTURE_RATES, default_pm=_MIXTURE_DEFAULT_PM, token_cte=TOKEN_CTE
 )
+
+from dataflowkit_ray.stages.pack import pack_manifest_sql as _pack_sql
+
+ORACLES["pack_manifest"] = _pack_sql(seq_len=2048, token_cte=TOKEN_CTE)
 
 ORACLES["streaming_join"] = f"""
     WITH {TOKEN_CTE}

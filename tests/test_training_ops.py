@@ -850,3 +850,31 @@ def test_mixture_sample_sql_empty_rates_and_quote_escape():
     for rates in ({}, {"o'reilly": 1000}):
         q = mixture_sample_sql(rates, default_pm=1000, token_cte=cte)
         assert len(con.execute(q).df()) == 1  # parses and keeps the row
+
+
+def test_pack_manifest_planted_boundaries(ray_session):
+    """Hand-checked packing: docs straddling pack boundaries, an exact
+    fit, and a zero-token doc (clamped into its starting pack)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dataflowkit_ray.stages.pack import pack_manifest
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(5)), pa.int64()),
+            "n_tok": pa.array([6, 4, 0, 10, 3], pa.int64()),
+            "event_seq": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    got = (
+        pack_manifest(ray.data.from_arrow(t).repartition(3), seq_len=8, group_size=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # stream: [0,6) [6,10) [10,10) [10,20) [20,23)  with packs of 8
+    assert got.global_start.tolist() == [0, 6, 10, 10, 20]
+    assert got.pack_first.tolist() == [0, 0, 1, 1, 2]
+    assert got.pack_last.tolist() == [0, 1, 1, 2, 2]  # zero-tok doc clamped
