@@ -173,6 +173,17 @@ class HeavyHittersSpec:
 
 
 @dataclass
+class PackSpec:
+    """Sequence-packing manifest terminal (``stages/pack.pack_manifest``):
+    per doc, its global token offset in the event-clock-ordered stream
+    and the first/last fixed-length pack it occupies.  ``group_size``
+    bounds the driver-side bucket-offset array (docs per bucket)."""
+
+    seq_len: int = 2048
+    group_size: int = 4096
+
+
+@dataclass
 class DecontaminateSpec:
     """Benchmark-decontamination terminal (``stages/dedup.decontaminate``):
     per source-stream doc, how many of its distinct word w-shingles
@@ -298,6 +309,7 @@ class PipelineSpec:
     heavy_hitters: HeavyHittersSpec | None = None
     decontaminate: DecontaminateSpec | None = None
     sample: MixtureSampleSpec | None = None
+    pack: PackSpec | None = None
     ann: AnnSpec | None = None
     quantiles: QuantilesSpec | None = None
     sink: SinkSpec | None = None
@@ -354,6 +366,7 @@ class PipelineSpec:
             sample=(
                 MixtureSampleSpec(**d["sample"]) if d.get("sample") else None
             ),
+            pack=PackSpec(**d["pack"]) if d.get("pack") else None,
             relational=(
                 RelationalSpec(**d["relational"]) if d.get("relational") else None
             ),
@@ -471,6 +484,14 @@ def validate_spec(spec: PipelineSpec) -> None:
             raise SpecError(
                 "decontaminate shingles raw text: set source.tokenize=false"
             )
+    if spec.pack:
+        if spec.pack.seq_len <= 0 or spec.pack.group_size <= 0:
+            raise SpecError("pack seq_len/group_size must be > 0")
+        if not spec.source.tokenize:
+            raise SpecError(
+                "pack runs on the tokenized stream (needs n_tok/event_seq): "
+                "set source.tokenize=true"
+            )
     if spec.sample:
         if not spec.source.tokenize:
             raise SpecError(
@@ -503,6 +524,7 @@ def validate_spec(spec: PipelineSpec) -> None:
         "heavy_hitters": spec.heavy_hitters,
         "decontaminate": spec.decontaminate,
         "sample": spec.sample,
+        "pack": spec.pack,
     }
     _set = [n for n, v in _terminal.items() if v]
     if len(_set) > 1:
@@ -756,6 +778,13 @@ def build_pipeline(spec: PipelineSpec):
         )
         return decontaminate(
             ds, bench, text_col=dc.text_col, id_col=dc.id_col, w=dc.w
+        )
+
+    if spec.pack:
+        from dataflowkit_ray.stages.pack import pack_manifest
+
+        return pack_manifest(
+            ds, seq_len=spec.pack.seq_len, group_size=spec.pack.group_size
         )
 
     if spec.sample:

@@ -1130,3 +1130,38 @@ def test_spec_mixture_sample_equals_direct_and_validates(ray_session):
                 decontaminate=DecontaminateSpec(bench_paths=[]),
             )
         )
+
+
+def test_spec_pack_manifest_equals_direct_and_validates(ray_session):
+    from dataflowkit_ray.pipelines.queries import q_pack_manifest
+    from dataflowkit_ray.spec import PackSpec
+
+    spec = PipelineSpec(
+        name="pack",
+        source=SourceSpec(paths=[f"{SF}/documents.parquet"]),
+        pack=PackSpec(seq_len=2048, group_size=512),
+    )
+    got = (
+        build_pipeline(spec).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = (
+        q_pack_manifest(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert PipelineSpec.from_json(spec.to_json()) == spec
+    with pytest.raises(SpecError, match="seq_len"):
+        validate_spec(
+            PipelineSpec(
+                name="pack",
+                source=SourceSpec(paths=["x.parquet"]),
+                pack=PackSpec(seq_len=0),
+            )
+        )
+    with pytest.raises(SpecError, match="tokenize"):
+        validate_spec(
+            PipelineSpec(
+                name="pack",
+                source=SourceSpec(paths=["x.parquet"], tokenize=False),
+                pack=PackSpec(),
+            )
+        )
