@@ -529,6 +529,24 @@ def validate_spec(spec: PipelineSpec) -> None:
     _set = [n for n, v in _terminal.items() if v]
     if len(_set) > 1:
         raise SpecError(f"branches {_set} are mutually exclusive terminal stages")
+    if _set:
+        # a terminal returns before the analytic tail is built — declared
+        # tail stages would be SILENTLY ignored, so reject them (the
+        # streaming validator's convention: reject, don't drop)
+        _analytic = {
+            "window": spec.window,
+            "aggregates": spec.aggregates,
+            "pattern": spec.pattern,
+            "join": spec.join,
+            "asof": spec.asof,
+            "range_join": spec.range_join,
+        }
+        used = [n for n, v in _analytic.items() if v]
+        if used:
+            raise SpecError(
+                f"{_set[0]} is a terminal stage: declared {used} would be "
+                "silently ignored — remove them"
+            )
     if spec.relational:
         if spec.relational.kind not in ("pricing_summary", "top_orders"):
             raise SpecError(f"unknown relational kind {spec.relational.kind!r}")
@@ -612,6 +630,8 @@ def validate_spec(spec: PipelineSpec) -> None:
         if (
             spec.dedup or spec.text or spec.asof or spec.join
             or spec.relational or spec.ann or spec.quantiles
+            or spec.heavy_hitters or spec.decontaminate or spec.sample
+            or spec.pack
         ):
             raise SpecError("streaming covers window/pattern stages only")
         if (

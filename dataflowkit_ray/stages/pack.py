@@ -52,8 +52,25 @@ def pack_manifest(ds, seq_len: int, group_size: int = 4096):
     if seq_len <= 0 or group_size <= 0:
         raise ValueError("pack_manifest: seq_len and group_size must be > 0")
 
+    def _empty_manifest() -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "global_start": pa.array([], pa.int64()),
+                "pack_first": pa.array([], pa.int64()),
+                "pack_last": pa.array([], pa.int64()),
+            }
+        )
+
     def project(t: pa.Table) -> pa.Table:
         seq = np_col(t["event_seq"])
+        if len(seq) and seq.min() < 0:
+            # a negative clock would floor-divide to a negative bucket id
+            # and corrupt every downstream offset — refuse loudly
+            raise ValueError(
+                "pack_manifest: event clock must be non-negative, got "
+                f"{int(seq.min())}"
+            )
         return pa.table(
             {
                 "doc_id": pc.cast(t["doc_id"], pa.int64()),
@@ -63,27 +80,36 @@ def pack_manifest(ds, seq_len: int, group_size: int = 4096):
             }
         )
 
-    slim = ds.map_batches(project, batch_format="pyarrow")
+    # materialize the 32-byte-row projection ONCE: both passes (bucket
+    # totals, then the group cumsum) consume it, and an unmaterialized
+    # lineage would re-run the full upstream read+tokenize per pass (the
+    # measured branched-lineage pitfall).  Cost is ~32 GB per 10^9 docs
+    # in the object store (spillable); at extreme scale land `slim` in a
+    # scratch parquet via write_partitioned instead and read it twice.
+    slim = ds.map_batches(project, batch_format="pyarrow").materialize()
 
     # bucket totals: the ONLY driver pull, group_size-bounded by design
     totals = (
         hash_agg(slim, ("g",), [("n_tok", "sum", "tok_sum")], n_buckets=16)
         .to_pandas()
-        .sort_values("g")
     )
-    gids = totals["g"].to_numpy()
-    sums = totals["tok_sum"].to_numpy()
+    if totals.empty:  # empty input: hash_agg loses schema, guard first
+        return ray.data.from_arrow(_empty_manifest())
+    totals = totals.sort_values("g")
+    gids = totals["g"].to_numpy().astype(np.int64)  # sorted bucket ids
+    sums = totals["tok_sum"].to_numpy().astype(np.int64)
     base = np.zeros(len(sums), dtype=np.int64)
     if len(sums) > 1:
         base[1:] = np.cumsum(sums[:-1])
-    # dense lookup indexed by g (gids are contiguous-ish smalls; a gap —
-    # possible if an event_seq range is empty — just leaves unused slots)
-    lut = np.zeros(int(gids.max()) + 1 if len(gids) else 1, dtype=np.int64)
-    lut[gids] = base
-    lut_ref = ray.put(lut)
+    # (gids, base) lookup by searchsorted — sized by the BUCKET COUNT
+    # (n_docs / group_size), never by max(event_seq): a dense array
+    # indexed by g would be O(clock range), exploding on sparse clocks
+    offs_ref = ray.put((gids, base))
 
     def finish(t: pa.Table) -> pa.Table:
-        lut_local = ray.get(lut_ref)
+        if len(t) == 0:  # zero-row group block (the r1 sort pitfall)
+            return _empty_manifest()
+        gids_l, base_l = ray.get(offs_ref)
         order = np.argsort(np_col(t["event_seq"]), kind="stable")
         n_tok = np_col(t["n_tok"])[order]
         doc = np_col(t["doc_id"])[order]
@@ -91,7 +117,7 @@ def pack_manifest(ds, seq_len: int, group_size: int = 4096):
         start = np.zeros(len(n_tok), dtype=np.int64)
         if len(n_tok) > 1:
             start[1:] = np.cumsum(n_tok[:-1])
-        start += lut_local[g]
+        start += base_l[np.searchsorted(gids_l, g)]
         pack_first = start // seq_len
         pack_last = np.maximum(start + n_tok - 1, start) // seq_len
         return pa.table(

@@ -878,3 +878,55 @@ def test_pack_manifest_planted_boundaries(ray_session):
     assert got.global_start.tolist() == [0, 6, 10, 10, 20]
     assert got.pack_first.tolist() == [0, 0, 1, 1, 2]
     assert got.pack_last.tolist() == [0, 1, 1, 2, 2]  # zero-tok doc clamped
+
+
+def test_pack_manifest_empty_and_negative_inputs(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dataflowkit_ray.stages.pack import pack_manifest
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tok": pa.array([], pa.int64()),
+            "event_seq": pa.array([], pa.int64()),
+        }
+    )
+    out = pack_manifest(ray.data.from_arrow(empty), seq_len=8)
+    assert out.schema().names == [
+        "doc_id", "global_start", "pack_first", "pack_last",
+    ]
+    assert out.count() == 0
+
+    neg = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "n_tok": pa.array([3, 4], pa.int64()),
+            "event_seq": pa.array([-2, 0], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        pack_manifest(ray.data.from_arrow(neg), seq_len=8).to_pandas()
+
+
+def test_spec_terminal_rejects_ignored_analytic_stages():
+    from dataflowkit_ray.spec import (
+        PackSpec,
+        PipelineSpec,
+        SourceSpec,
+        SpecError,
+        WindowSpec,
+        validate_spec,
+    )
+
+    with pytest.raises(SpecError, match="silently ignored"):
+        validate_spec(
+            PipelineSpec(
+                name="p",
+                source=SourceSpec(paths=["x.parquet"]),
+                pack=PackSpec(),
+                window=WindowSpec(),
+            )
+        )
